@@ -1,0 +1,269 @@
+"""RS(26,k) over GF(27), TPU-native.
+
+Design (see SURVEY.md section 2.1 C3): because multiplication by *fixed*
+field constants is GF(3)-linear, every fixed-matrix stage of the codec is
+one integer matmul over trit digits, mod 3 -- which XLA tiles onto the MXU:
+
+  encode:     codeword_digits = data_digits @ G3       (3k x 78)
+  syndromes:  synd_digits     = recv_digits @ S3       (78 x 3r)
+  Chien:      sigma(a^-i)     = sigma_digits @ CH3     (3(r+1) x 78), all i
+  Forney:     Omega(a^-i), sigma'(a^-i) likewise
+
+The only sequential part is Berlekamp-Massey: a fixed r-iteration
+(r = 26-k <= 8) lax.fori_loop over small per-block state, batched over
+all blocks at once with masked (branchless) updates.
+
+Correctness contract: unlike the reference encoder -- which is broken
+(mis-aligned synthetic division, old/include/ternary_image_codec_v6_min.hpp:
+517-535; see SURVEY.md section 0) -- this implementation follows the
+documented algebra (old/documentation.txt:126-146): systematic code with
+data in positions 0..k-1, parity in k..25, codeword c(x) satisfying
+c(alpha^j) = 0 for j = 1..r, alpha = x (= 3).  Valid codewords have
+all-zero syndromes under the reference decoder's syndrome definition
+(old/include/ternary_image_codec_v6_min.hpp:549-560).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import gf27
+from .gf27 import (add_dig, dig_to_sym, inv_dig, mod3_matmul, mul_dig,
+                   np_alpha_pow, np_gf_mul, np_gf_neg, np_gf_solve,
+                   np_poly_mod, sym_to_dig)
+
+N = 26
+
+
+@functools.cache
+def generator_poly(k: int) -> np.ndarray:
+    """g(x) = prod_{i=1..r} (x - alpha^i), ascending-degree GF27 coeffs."""
+    r = N - k
+    g = np.array([1], dtype=np.int64)
+    for i in range(1, r + 1):
+        root = int(np_alpha_pow(i))
+        # multiply by (x - root) == (-root + x)
+        g = gf27.np_poly_mul(g, np.array([np_gf_neg(root), 1], dtype=np.int64))
+    return g
+
+
+@functools.cache
+def _matrices(k: int):
+    """Precompute all GF(3) digit matrices for one profile (host, exact)."""
+    r = N - k
+    smax = r + 1  # sigma/B coefficient array length
+    g = generator_poly(k)
+
+    # --- systematic generator matrix G = [I_k | P] ---
+    # Need parity p_i (r coeffs) with x^i + sum_m P[i,m] x^(k+m) = 0 mod g.
+    # Columns Q_m = x^(k+m) mod g; solve Q @ P[i] = -R_i with R_i = x^i mod g.
+    Q = np.zeros((r, r), dtype=np.int64)
+    for m in range(r):
+        e = np.zeros(k + m + 1, dtype=np.int64)
+        e[-1] = 1
+        Q[:, m] = np_poly_mod(e, g)
+    P = np.zeros((k, r), dtype=np.int64)
+    for i in range(k):
+        e = np.zeros(i + 1, dtype=np.int64)
+        e[-1] = 1
+        Ri = np_poly_mod(e, g)
+        P[i] = np_gf_solve(Q, np_gf_neg(Ri))
+    G = np.zeros((k, N), dtype=np.int64)
+    G[:, :k] = np.eye(k, dtype=np.int64)
+    G[:, k:] = P
+    # sanity: every row is a valid codeword (zero syndromes)
+    for i in range(k):
+        for j in range(1, r + 1):
+            assert gf27.np_poly_eval(G[i], int(np_alpha_pow(j))) == 0
+
+    # --- syndrome matrix: S_j = sum_i c_i alpha^((j+1) i) ---
+    ii = np.arange(N)[:, None]
+    jj = np.arange(r)[None, :]
+    Csynd = np_alpha_pow((jj + 1) * ii)  # (26, r)
+
+    # --- Chien: sigma(alpha^-i) = sum_d sigma_d alpha^(-i d) ---
+    dd = np.arange(smax)[:, None]
+    pos = np.arange(N)[None, :]
+    Cchien = np_alpha_pow(-pos * dd)  # (smax, 26)
+
+    # --- Omega eval at alpha^-i (Omega has r coeffs) ---
+    do = np.arange(r)[:, None]
+    Com = np_alpha_pow(-pos * do)  # (r, 26)
+
+    # --- sigma' eval: sigma'(y) = sum_{d>=1} (d mod 3) sigma_d y^(d-1) ---
+    Csp = np.zeros((smax, N), dtype=np.int64)
+    for d in range(1, smax):
+        s = d % 3
+        if s:
+            Csp[d] = np_gf_mul(s, np_alpha_pow(-pos[0] * (d - 1)))
+
+    return {
+        "r": r, "smax": smax, "g": g, "G": G,
+        "G3": gf27.gf3_linmap(G),          # (3k, 78)
+        "S3": gf27.gf3_linmap(Csynd),      # (78, 3r)
+        "CH3": gf27.gf3_linmap(Cchien),    # (3 smax, 78)
+        "OM3": gf27.gf3_linmap(Com),       # (3r, 78)
+        "SP3": gf27.gf3_linmap(Csp),       # (3 smax, 78)
+    }
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+
+def encode(data, k: int):
+    """RS-encode blocks. data (..., k) GF27 symbols -> (..., 26) codewords."""
+    M = _matrices(k)
+    d = sym_to_dig(data)                       # (..., k, 3)
+    flat = d.reshape(*d.shape[:-2], 3 * k)
+    cw = mod3_matmul(flat, M["G3"])            # (..., 78)
+    return dig_to_sym(cw.reshape(*cw.shape[:-1], N, 3)).astype(jnp.int8)
+
+
+def np_encode(data: np.ndarray, k: int) -> np.ndarray:
+    """Host oracle encode (exact same matrices)."""
+    M = _matrices(k)
+    d = gf27.np_sym_to_dig(data).reshape(*np.shape(data)[:-1], 3 * k)
+    cw = (d @ M["G3"].astype(np.int64)) % 3
+    return gf27.np_dig_to_sym(cw.reshape(*cw.shape[:-1], N, 3))
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def syndromes(recv, k: int):
+    """(..., 26) received -> (..., r) syndrome symbols."""
+    M = _matrices(k)
+    d = sym_to_dig(recv)
+    flat = d.reshape(*d.shape[:-2], 3 * N)
+    s = mod3_matmul(flat, M["S3"])
+    r = M["r"]
+    return dig_to_sym(s.reshape(*s.shape[:-1], r, 3))
+
+
+def _berlekamp_massey(S_dig, r: int, smax: int):
+    """Batched BM. S_dig: (B, r, 3) syndrome digits -> sigma digits (B, smax, 3).
+
+    Fixed r iterations; branchless masked updates (lax.fori_loop)."""
+    B_ = S_dig.shape[0]
+    zeros3 = jnp.zeros((B_, 3), dtype=jnp.int32)
+    one_poly = jnp.zeros((B_, smax, 3), dtype=jnp.int32).at[:, 0, 0].set(1)
+
+    def shift_poly(p, m):
+        # x^m * p per block; m: (B,) traced. out[j] = p[j-m] if j>=m else 0
+        j = jnp.arange(smax)[None, :]                      # (1, smax)
+        src = j - m[:, None]                               # (B, smax)
+        valid = src >= 0
+        src = jnp.clip(src, 0, smax - 1)
+        gathered = jnp.take_along_axis(p, src[..., None], axis=1)
+        return jnp.where(valid[..., None], gathered, 0)
+
+    def body(n, st):
+        sigma, Bp, bdig, L, m = st
+        # discrepancy d = S_n + sum_{i=1..smax-1} sigma_i * S_{n-i}
+        i = jnp.arange(1, smax)[None, :]                   # (1, smax-1)
+        idx = n - i                                        # (1, smax-1)
+        valid = idx >= 0
+        idxc = jnp.clip(idx, 0, r - 1)
+        Sg = jnp.take_along_axis(
+            S_dig, jnp.broadcast_to(idxc[..., None], (B_, smax - 1, 3)), axis=1)
+        terms = mul_dig(sigma[:, 1:], Sg)
+        terms = jnp.where(valid[..., None], terms, 0)
+        d = (S_dig[:, n] + terms.sum(axis=1)) % 3          # (B, 3)
+
+        dz = jnp.sum(d, axis=-1) == 0                      # (B,)
+        coef = mul_dig(d, inv_dig(bdig))                   # d / b
+        shifted = shift_poly(Bp, m)                        # x^m * B
+        upd = (sigma - mul_dig(jnp.broadcast_to(coef[:, None], shifted.shape),
+                               shifted)) % 3
+        new_sigma = jnp.where(dz[:, None, None], sigma, upd)
+
+        grow = (~dz) & (2 * L <= n)
+        new_B = jnp.where(grow[:, None, None], sigma, Bp)
+        new_b = jnp.where(grow[:, None], d, bdig)
+        new_L = jnp.where(grow, n + 1 - L, L)
+        new_m = jnp.where(grow, 1, m + 1)
+        return (new_sigma, new_B, new_b, new_L, new_m)
+
+    init = (one_poly, one_poly,
+            zeros3.at[:, 0].set(1),
+            jnp.zeros((B_,), dtype=jnp.int32),
+            jnp.ones((B_,), dtype=jnp.int32))
+    sigma, _, _, L, _ = lax.fori_loop(0, r, body, init)
+    return sigma, L
+
+
+def decode(recv, k: int):
+    """Decode blocks.
+
+    recv: (B, 26) GF27 symbols.
+    Returns (data (B, k) int8, ok (B,) bool).  `ok` is False when the error
+    pattern is uncorrectable (instead of the reference's early `return false`,
+    old/include/ternary_image_codec_v6_min.hpp:624,656 -- batched execution
+    returns per-block status flags, SURVEY.md section 5 "failure detection").
+    """
+    M = _matrices(k)
+    r, smax = M["r"], M["smax"]
+    t = r // 2
+    recv = jnp.asarray(recv)
+    B_ = recv.shape[0]
+
+    recv_dig = sym_to_dig(recv)                              # (B, 26, 3)
+    S_dig = mod3_matmul(recv_dig.reshape(B_, 3 * N), M["S3"],
+                        out_dtype=jnp.int32).reshape(B_, r, 3)
+    synd_zero = jnp.all(S_dig.reshape(B_, 3 * r) == 0, axis=-1)
+
+    sigma, L = _berlekamp_massey(S_dig.astype(jnp.int32), r, smax)
+
+    # Chien search over all 26 positions at once
+    ev = mod3_matmul(sigma.reshape(B_, 3 * smax), M["CH3"],
+                     out_dtype=jnp.int32).reshape(B_, N, 3)
+    root = jnp.sum(ev, axis=-1) == 0                        # (B, 26)
+    nroots = jnp.sum(root, axis=-1)
+
+    # Omega = S(x) sigma(x) mod x^r  (variable x variable conv, r<=8 terms)
+    Om = jnp.zeros((B_, r, 3), dtype=jnp.int32)
+    for j in range(r):
+        acc = jnp.zeros((B_, 3), dtype=jnp.int32)
+        for i in range(max(0, j - smax + 1), j + 1):
+            acc = add_dig(acc, mul_dig(S_dig[:, i].astype(jnp.int32),
+                                       sigma[:, j - i]))
+        Om = Om.at[:, j].set(acc)
+
+    num = mod3_matmul(Om.reshape(B_, 3 * r), M["OM3"],
+                      out_dtype=jnp.int32).reshape(B_, N, 3)
+    den = mod3_matmul(sigma.reshape(B_, 3 * smax), M["SP3"],
+                      out_dtype=jnp.int32).reshape(B_, N, 3)
+    # error value Y at root position: Y = -Omega(X)/sigma'(X); corrected = recv - Y
+    Y = (-mul_dig(num, inv_dig(den))) % 3
+    corr = jnp.where(root[..., None], (-Y) % 3, 0)
+    fixed_dig = (recv_dig + corr) % 3                        # (B, 26, 3)
+
+    # robust failure detection: recompute syndromes of the corrected word
+    S2 = mod3_matmul(fixed_dig.reshape(B_, 3 * N), M["S3"], out_dtype=jnp.int32)
+    ok = jnp.all(S2 == 0, axis=-1) & (nroots <= t) & (nroots == L)
+    ok = ok | synd_zero
+
+    fixed = jnp.where(synd_zero[:, None, None], recv_dig, fixed_dig)
+    data = dig_to_sym(fixed[:, :k]).astype(jnp.int8)
+    return data, ok
+
+
+# convenience jitted single-profile entry points -----------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def encode_jit(data, k: int):
+    return encode(data, k)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def decode_jit(recv, k: int):
+    return decode(recv, k)
