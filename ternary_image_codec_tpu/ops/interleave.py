@@ -1,0 +1,63 @@
+"""2D boustrophedon interleave as precomputed gather permutations.
+
+Reference semantics (old/include/ternary_image_codec_v6_min.hpp:749-813):
+the symbol stream is chunked into tiles of area A = w*h; within each chunk,
+symbols are re-read row by row, even rows left-to-right, odd rows
+right-to-left.  A partial final chunk uses the same snake order filtered to
+indices < take.  Interleave/deinterleave are exact inverses.
+
+TPU-native: the whole permutation (for a given stream length and tile) is
+precomputed once in numpy; applying it is a single jnp.take, its inverse a
+take with argsort(perm).  No device control flow at all.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@functools.cache
+def snake_order(w: int, h: int) -> np.ndarray:
+    """Indices of one full tile in boustrophedon read order."""
+    idx = np.arange(w * h).reshape(h, w)
+    idx[1::2] = idx[1::2, ::-1]
+    return idx.reshape(-1)
+
+
+@functools.cache
+def perm(n: int, w: int, h: int) -> np.ndarray:
+    """Permutation p with out[i] = in[p[i]] for a length-n stream."""
+    if w == 0 or h == 0 or n == 0:
+        return np.arange(n)
+    A = w * h
+    order = snake_order(w, h)
+    chunks = []
+    for start in range(0, n, A):
+        take = min(A, n - start)
+        o = order[order < take]  # filtered snake order for partial chunk
+        chunks.append(start + o)
+    return np.concatenate(chunks)
+
+
+@functools.cache
+def inv_perm(n: int, w: int, h: int) -> np.ndarray:
+    return np.argsort(perm(n, w, h), kind="stable")
+
+
+def interleave(syms, w: int, h: int):
+    """syms (..., n) -> interleaved (..., n)."""
+    syms = jnp.asarray(syms)
+    n = syms.shape[-1]
+    if w == 0 or h == 0:
+        return syms
+    return jnp.take(syms, jnp.asarray(perm(n, w, h)), axis=-1)
+
+
+def deinterleave(syms, w: int, h: int):
+    syms = jnp.asarray(syms)
+    n = syms.shape[-1]
+    if w == 0 or h == 0:
+        return syms
+    return jnp.take(syms, jnp.asarray(inv_perm(n, w, h)), axis=-1)

@@ -1,0 +1,371 @@
+"""Superframe profile pipeline: RAW words <-> RS-protected profile words.
+
+This is the codec's `encode_profile_from_raw` / `decode_profile_to_raw`
+(old/include/ternary_image_codec_v6_min.hpp:1043-1169, 995-1041), rebuilt
+TPU-first:
+
+* Every stage is a static-shape tensor op: the 26-trit repack is a reshape,
+  band mapping and beacon placement are precomputed gather index vectors,
+  RS encode/decode are batched mod-3 matmuls (ops/rs.py), scrambling is a
+  closed-form offset add (ops/scramble.py), and 2D interleave is a
+  precomputed permutation (ops/interleave.py).
+* Pipelines are specialized per (config, frame size): all index vectors are
+  computed on the host once, and the jitted function is cached per layout.
+  This is the idiomatic XLA treatment of the reference's data-dependent
+  control flow.
+
+Canonical layout note (divergence from the reference, recorded in
+SURVEY.md section 0 and docs/DIVERGENCES.md): the reference's encoder and
+decoder disagree with each other -- the encoder concatenates RS-coded bands
+band-major and splices the header stream mid-word, while the decoder
+expects band b in symbol slot b of each word (per the UEP spec,
+old/documentation.txt:54-61) and reads the header as 6 whole words.  Since
+the two were never mutually testable (the reference RS encoder is broken),
+this rebuild implements the *spec-consistent* layout, matching the
+reference DECODER's conventions:
+
+  word 0..5   : 52 header symbols (2x RS(26,18)) + 2 zero pad
+  word 6..6+H : body grid, H rows x 9 slots; band b occupies column b;
+                beacon cells at (row % period == 0, col == band_slot) carry
+                the (unscrambled) beacon symbol; each band's RS codeword
+                stream fills its column top-down, skipping beacon cells;
+                trailing cells that cannot hold a full 26-symbol codeword
+                are zero fill.
+
+Scrambler state advances over every body cell in row-major order (exactly
+the reference decoder's descramble_words_inplace, old/.../v6_min.hpp:938-947);
+beacon cells are left unscrambled (sync markers stay detectable), matching
+the reference encoder's insertion of plain beacon symbols.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import (BeaconPayload, EncoderConfig, NUM_BANDS, ProfileID,
+                      SuperframeHeader, encode_beacon_symbol, rs_params_for)
+from . import header as header_mod
+from . import interleave, rs, scramble, subword
+
+HEADER_WORDS = 6
+HEADER_SYMS = 52
+_PROFILE_KS = (24, 22, 20, 18)  # band_profile index 0..3 -> k
+
+
+def _band_k(uep_idx: int) -> int:
+    return _PROFILE_KS[uep_idx % 4]
+
+
+def _beacon_rows(H: int, period: int) -> np.ndarray:
+    if period <= 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.arange(0, H, period)
+
+
+def _band_lens(n_sy: int) -> np.ndarray:
+    """Round-robin band lengths: band b gets symbols b, b+9, b+18, ..."""
+    b = np.arange(NUM_BANDS)
+    return (n_sy - b + NUM_BANDS - 1) // NUM_BANDS
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class _GridGeom:
+    """Shared encode/decode geometry of the body grid for one config + H."""
+
+    H: int
+    ks: Tuple[int, ...]                 # per-band RS k
+    usable: Tuple[int, ...]             # payload capacity per column
+    blocks: Tuple[int, ...]             # full RS codewords per column
+    rows_by_band: Tuple[np.ndarray, ...]  # payload row indices per column
+    beacon_cells: np.ndarray            # flat (row*9+col) beacon cell indices
+    beacon_sym: int
+
+
+def _grid_geom(uep, beacon, H: int, beacon_sym: int) -> _GridGeom:
+    ks, usable, blocks, rows = [], [], [], []
+    brows = _beacon_rows(H, beacon.words_period) if beacon.enabled else np.zeros(0, dtype=np.int64)
+    for b in range(NUM_BANDS):
+        k = _band_k(uep.band_profile[b])
+        ks.append(k)
+        r = np.arange(H)
+        if beacon.enabled and b == beacon.band_slot:
+            mask = np.ones(H, dtype=bool)
+            mask[brows] = False
+            r = r[mask]
+        rows.append(r)
+        usable.append(len(r))
+        blocks.append(len(r) // rs.N)
+    cells = brows * NUM_BANDS + (beacon.band_slot if beacon.enabled else 0)
+    return _GridGeom(H, tuple(ks), tuple(usable), tuple(blocks),
+                     tuple(rows), cells if beacon.enabled else np.zeros(0, dtype=np.int64),
+                     beacon_sym)
+
+
+# ---------------------------------------------------------------------------
+# encode layout
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class EncodeLayout:
+    cfg: EncoderConfig
+    n_raw_words: int
+    n_sy: int
+    geom: _GridGeom
+    enc_block_slices: Tuple[Tuple[int, int], ...]  # (start, n_blocks) in block stream per band
+    gather_idx: np.ndarray       # (H*9,) indices into [concat(enc streams), fill0, beacon]
+    scramble_keep: np.ndarray    # (H*9,) bool: scramble this cell?
+    header_words: np.ndarray     # (6, 9) int8 precomputed header words
+    total_words: int
+
+
+def _min_height(lens, uep, beacon) -> int:
+    """Smallest H whose per-column capacity fits every band's codewords."""
+    need_blocks = [int(-(-lens[b] // _band_k(uep.band_profile[b]))) for b in range(NUM_BANDS)]
+    H = max((nb * rs.N for nb in need_blocks), default=0)
+    if not beacon.enabled:
+        return H
+    while True:
+        g = _grid_geom(uep, beacon, H, 0)
+        if all(g.blocks[b] >= need_blocks[b] for b in range(NUM_BANDS)):
+            return H
+        H += 1
+
+
+def _encode_header_words(cfg: EncoderConfig, frame_seq: int = 0) -> np.ndarray:
+    hdr = SuperframeHeader(
+        profile=cfg.profile, uep=cfg.uep, tile=cfg.tile, seed=cfg.seed,
+        beacon=cfg.beacon, subword=cfg.subword, centered=cfg.centered,
+        coset=cfg.coset, frame_seq=frame_seq)
+    syms = header_mod.pack(hdr)
+    A = np.zeros(18, dtype=np.int64)
+    B = np.zeros(18, dtype=np.int64)
+    A[:] = syms[:18]
+    B[:9] = syms[18:27]
+    encA = rs.np_encode(A, 18)
+    encB = rs.np_encode(B, 18)
+    out = np.zeros(HEADER_WORDS * NUM_BANDS, dtype=np.int8)
+    out[:26] = encA
+    out[26:52] = encB
+    return out.reshape(HEADER_WORDS, NUM_BANDS)
+
+
+@functools.cache
+def build_encode_layout(cfg: EncoderConfig, n_raw_words: int,
+                        frame_seq: int = 0) -> EncodeLayout:
+    if cfg.beacon.enabled:
+        if not (0 < cfg.beacon.words_period <= 26):
+            # the header stores min(period, 26) (old/.../v6_min.hpp:267), so
+            # periods > 26 cannot round-trip; reject instead of corrupting.
+            raise ValueError("beacon words_period must be in 1..26")
+        if not (0 <= cfg.beacon.band_slot < NUM_BANDS):
+            raise ValueError("beacon band_slot must be in 0..8")
+    if any(bp % 4 == 3 for bp in cfg.uep.band_profile):
+        # The header stores one trit per band (band_profile % 3,
+        # old/.../v6_min.hpp:219-228), so per-band P4 (index 3) cannot be
+        # transported: the reference silently turns it into P1 on decode.
+        # Reject instead of corrupting (docs/DIVERGENCES.md).
+        raise ValueError(
+            "UEP band profile 3 (P4) is not transportable in the superframe "
+            "header (1 trit/band); use P1..P3 per band")
+    n_sy = -(-26 * n_raw_words // 3)
+    lens = _band_lens(n_sy)
+    H = _min_height(lens, cfg.uep, cfg.beacon)
+    bsym = encode_beacon_symbol(BeaconPayload(
+        cfg.profile, cfg.superframe_words % 5, 0))
+    geom = _grid_geom(cfg.uep, cfg.beacon, H, bsym)
+
+    # per-band encoded stream occupies blocks[b]*26 cells of its column;
+    # data for band b is padded with zero symbols to blocks[b]*k[b].
+    enc_starts, start = [], 0
+    for b in range(NUM_BANDS):
+        enc_starts.append((start, geom.blocks[b]))
+        start += geom.blocks[b] * rs.N
+    n_enc = start
+
+    # gather source: [enc streams (n_enc), zero fill (1), beacon (1)]
+    ZERO, BEACON = n_enc, n_enc + 1
+    gidx = np.full(H * NUM_BANDS, ZERO, dtype=np.int64)
+    for b in range(NUM_BANDS):
+        rows = geom.rows_by_band[b][:geom.blocks[b] * rs.N]
+        gidx[rows * NUM_BANDS + b] = enc_starts[b][0] + np.arange(len(rows))
+    gidx[geom.beacon_cells] = BEACON
+    keep = np.ones(H * NUM_BANDS, dtype=bool)
+    keep[geom.beacon_cells] = False
+
+    return EncodeLayout(
+        cfg=cfg, n_raw_words=n_raw_words, n_sy=n_sy, geom=geom,
+        enc_block_slices=tuple(enc_starts), gather_idx=gidx,
+        scramble_keep=keep,
+        header_words=_encode_header_words(cfg, frame_seq),
+        total_words=HEADER_WORDS + H)
+
+
+@functools.cache
+def _encode_fn(layout: EncodeLayout):
+    cfg, geom = layout.cfg, layout.geom
+    n_sy = layout.n_sy
+
+    # stream length the decoder will reconstruct (see build_decode_layout);
+    # the stream is padded to this length BEFORE the P5 interleave so both
+    # sides permute at the same length (the reference never got this
+    # symmetric -- its P5 path was untestable, docs/DIVERGENCES.md).
+    dlens = [geom.blocks[b] * geom.ks[b] for b in range(NUM_BANDS)]
+    L_out = int(min(9 * dlens[b] + b for b in range(NUM_BANDS)))
+    assert L_out >= n_sy
+
+    def fn(raw_words):
+        # 1) words -> 26 useful trits each -> symbol stream (pad tail with 0)
+        t = subword.words_to_trits(raw_words)[..., :26].reshape(-1)
+        pad = 3 * n_sy - t.shape[0]
+        if pad:
+            t = jnp.pad(t, (0, pad))
+        sy = jnp.asarray(
+            t.reshape(n_sy, 3), dtype=jnp.int32)
+        sy = (sy[:, 0] + 3 * sy[:, 1] + 9 * sy[:, 2]).astype(jnp.int8)
+        sy = jnp.pad(sy, (0, L_out - n_sy))
+        # 2) optional 2D interleave (P5)
+        if cfg.profile == ProfileID.P5_RS26_22_2D and cfg.tile.w and cfg.tile.h:
+            sy = interleave.interleave(sy, cfg.tile.w, cfg.tile.h)
+        # 3) per-band RS encode (round-robin split b::9, pad to full blocks)
+        enc_parts = []
+        for b in range(NUM_BANDS):
+            k = geom.ks[b]
+            nblk = geom.blocks[b]
+            data = sy[b::NUM_BANDS]
+            need = nblk * k
+            data = jnp.pad(data, (0, max(0, need - data.shape[0])))[:need]
+            enc = rs.encode(data.reshape(nblk, k), k).reshape(-1)
+            enc_parts.append(enc)
+        src = jnp.concatenate(
+            enc_parts + [jnp.zeros(1, dtype=jnp.int8),
+                         jnp.full(1, geom.beacon_sym, dtype=jnp.int8)])
+        # 4) scatter into the body grid via precomputed gather
+        grid = jnp.take(src, jnp.asarray(layout.gather_idx))
+        # 5) scramble payload cells; state advances over every cell
+        grid = scramble.scramble_masked(grid, cfg.seed.a, cfg.seed.b,
+                                        cfg.seed.s0,
+                                        jnp.asarray(layout.scramble_keep))
+        body = grid.reshape(geom.H, NUM_BANDS)
+        return jnp.concatenate(
+            [jnp.asarray(layout.header_words, dtype=jnp.int8), body], axis=0)
+
+    return jax.jit(fn)
+
+
+def encode_profile_from_raw(raw_words, cfg: EncoderConfig, frame_seq: int = 0):
+    """RAW words (n, 9) int8 -> profile words (6 + H, 9) int8.
+
+    RAW_MODE passes words through unchanged (old/.../v6_min.hpp:1045-1049).
+    """
+    raw_words = jnp.asarray(raw_words)
+    if cfg.profile == ProfileID.RAW_MODE:
+        return raw_words
+    layout = build_encode_layout(cfg, int(raw_words.shape[0]), frame_seq)
+    return _encode_fn(layout)(raw_words)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class DecodeLayout:
+    hdr: SuperframeHeader
+    H: int
+    geom: _GridGeom
+    out_idx: np.ndarray        # (L_out,) into concat(band data streams)
+    n_out_words: int
+
+
+@functools.cache
+def build_decode_layout(hdr: SuperframeHeader, H: int) -> DecodeLayout:
+    bsym = 0  # decoder never reads beacon cell contents
+    geom = _grid_geom(hdr.uep, hdr.beacon, H, bsym)
+    # decoded data stream lengths per band
+    dlens = [geom.blocks[b] * geom.ks[b] for b in range(NUM_BANDS)]
+    starts = np.concatenate([[0], np.cumsum(dlens)])[:NUM_BANDS]
+    # re-round-robin: out[i] = band_data[i % 9][i // 9]; band b can supply
+    # indices i % 9 == b only while i // 9 < dlens[b], so
+    L_out = int(min(9 * dlens[b] + b for b in range(NUM_BANDS)))
+    i = np.arange(L_out)
+    out_idx = starts[i % NUM_BANDS] + i // NUM_BANDS
+    n_out_words = (L_out * 3) // 26
+    return DecodeLayout(hdr=hdr, H=H, geom=geom, out_idx=out_idx,
+                        n_out_words=n_out_words)
+
+
+def decode_header_from_words(words) -> Tuple[Optional[SuperframeHeader], bool]:
+    """First 6 words -> decoded header, or (None, False).
+
+    old/include/ternary_image_codec_v6_min.hpp:918-937 (6 words -> 54 syms,
+    2x RS(26,18) decode, CRC-12 check, unpack).
+    """
+    w = np.asarray(words)
+    if w.shape[0] < HEADER_WORDS:
+        return None, False
+    sy = w[:HEADER_WORDS].reshape(-1)
+    blocks = jnp.asarray(np.stack([sy[:26], sy[26:52]]))
+    data, ok = rs.decode_jit(blocks, 18)
+    if not bool(np.all(np.asarray(ok))):
+        return None, False
+    data = np.asarray(data)
+    syms = np.concatenate([data[0][:18], data[1][:9]])
+    if not header_mod.check(syms):
+        return None, False
+    return header_mod.unpack(syms), True
+
+
+@functools.cache
+def _decode_body_fn(layout: DecodeLayout):
+    hdr, geom = layout.hdr, layout.geom
+
+    def fn(body_words):
+        flat = body_words.reshape(-1)
+        flat = scramble.descramble(flat, hdr.seed.a, hdr.seed.b, hdr.seed.s0)
+        grid = flat.reshape(geom.H, NUM_BANDS)
+        datas, oks = [], []
+        for b in range(NUM_BANDS):
+            nblk, k = geom.blocks[b], geom.ks[b]
+            col = grid[jnp.asarray(geom.rows_by_band[b][:nblk * rs.N]), b]
+            d, ok = rs.decode(col.reshape(nblk, rs.N), k)
+            datas.append(d.reshape(-1))
+            oks.append(ok)
+        data_cat = jnp.concatenate(datas) if datas else jnp.zeros(0, jnp.int8)
+        ok_all = jnp.all(jnp.concatenate(oks)) if oks else jnp.asarray(True)
+        sy = jnp.take(data_cat, jnp.asarray(layout.out_idx))
+        if hdr.profile == ProfileID.P5_RS26_22_2D and hdr.tile.w and hdr.tile.h:
+            sy = interleave.deinterleave(sy, hdr.tile.w, hdr.tile.h)
+        # syms -> trits -> RAW words (26 trits/word + forced zero 27th trit)
+        s = sy.astype(jnp.int32)
+        t = jnp.stack([s % 3, (s // 3) % 3, (s // 9) % 3], axis=-1).reshape(-1)
+        t = t[:layout.n_out_words * 26].reshape(layout.n_out_words, 26)
+        t = jnp.concatenate(
+            [t, jnp.zeros((layout.n_out_words, 1), dtype=t.dtype)], axis=-1)
+        return subword.trits_to_words(t), ok_all
+
+    return jax.jit(fn)
+
+
+def decode_profile_to_raw(words, raw_mode: bool = False):
+    """Profile words -> (raw_words, header, ok).
+
+    Mirrors decode_profile_to_raw (old/.../v6_min.hpp:995-1041) with
+    host-side header decode + config-specialized jitted body decode.
+    """
+    words = jnp.asarray(words)
+    if raw_mode:
+        return words, None, True
+    hdr, ok = decode_header_from_words(np.asarray(words))
+    if not ok:
+        return None, None, False
+    H = int(words.shape[0]) - HEADER_WORDS
+    layout = build_decode_layout(hdr, H)
+    raw, body_ok = _decode_body_fn(layout)(words[HEADER_WORDS:])
+    return raw, hdr, bool(body_ok)

@@ -1,0 +1,142 @@
+"""Profile pipeline roundtrip tests (port of selftest_api_roundtrip,
+old/include/ternary_image_codec_v6_min.hpp:1208-1230 -- must PASS here)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ternary_image_codec_tpu.config import (EncoderConfig, ProfileID,
+                                            ScramblerSeed, SparseBeaconCfg,
+                                            Tile2D, uep_luma_priority,
+                                            uep_uniform)
+from ternary_image_codec_tpu.ops import pipeline
+
+
+def make_raw_words(n, seed=0):
+    r = np.random.default_rng(seed)
+    t = r.integers(0, 3, size=(n, 27)).astype(np.int8)
+    t[:, 26] = 0  # spare trit always zero in RAW words
+    syms = (t.reshape(n, 9, 3) * np.array([1, 3, 9])).sum(-1)
+    return syms.astype(np.int8)
+
+
+def check_roundtrip(cfg, n_raw=32, seed=0):
+    raw = make_raw_words(n_raw, seed)
+    prof = pipeline.encode_profile_from_raw(jnp.asarray(raw), cfg)
+    out, hdr, ok = pipeline.decode_profile_to_raw(prof)
+    assert ok, "decode flagged failure"
+    out = np.asarray(out)
+    L = min(len(raw), len(out))
+    np.testing.assert_array_equal(out[:L], raw[:L])
+    assert len(out) >= len(raw)
+    return prof, hdr
+
+
+class TestApiRoundtrip:
+    def test_p2_luma_priority(self):
+        """The selftest_api_roundtrip configuration: 64 px -> 32 raw words,
+        P2 + luma-priority UEP."""
+        cfg = EncoderConfig(profile=ProfileID.P2_RS26_22,
+                            uep=uep_luma_priority())
+        prof, hdr = check_roundtrip(cfg, n_raw=32)
+        assert hdr.profile == ProfileID.P2_RS26_22
+        assert hdr.uep == uep_luma_priority()
+
+    @pytest.mark.parametrize("pid", [ProfileID.P1_RS26_24, ProfileID.P2_RS26_22,
+                                     ProfileID.P3_RS26_20])
+    def test_uniform_profiles(self, pid):
+        cfg = EncoderConfig(profile=pid, uep=uep_uniform(int(pid)))
+        check_roundtrip(cfg, n_raw=50, seed=int(pid))
+
+    def test_p4_frame_profile_with_p3_bands(self):
+        # per-band P4 is untransportable in the header (1 trit/band) and is
+        # rejected; the frame profile P4 itself is fine with P1..P3 bands.
+        cfg = EncoderConfig(profile=ProfileID.P4_RS26_18, uep=uep_uniform(2))
+        check_roundtrip(cfg, n_raw=50, seed=4)
+
+    def test_p4_band_profile_rejected(self):
+        cfg = EncoderConfig(uep=uep_uniform(3))
+        with pytest.raises(ValueError, match="P4"):
+            pipeline.encode_profile_from_raw(jnp.asarray(make_raw_words(8)), cfg)
+
+    def test_p5_2d_interleave(self):
+        cfg = EncoderConfig(profile=ProfileID.P5_RS26_22_2D, tile=Tile2D(8, 4))
+        prof, hdr = check_roundtrip(cfg, n_raw=40)
+        assert hdr.tile == Tile2D(8, 4)
+
+    def test_beacon(self):
+        cfg = EncoderConfig(beacon=SparseBeaconCfg(words_period=5, band_slot=3,
+                                                   enabled=True))
+        prof, hdr = check_roundtrip(cfg, n_raw=64)
+        assert hdr.beacon == SparseBeaconCfg(5, 3, True)
+        # beacon cells hold the plain beacon symbol in the emitted stream
+        from ternary_image_codec_tpu.config import (BeaconPayload,
+                                                    encode_beacon_symbol)
+        bs = encode_beacon_symbol(BeaconPayload(cfg.profile,
+                                                cfg.superframe_words % 5, 0))
+        body = np.asarray(prof)[pipeline.HEADER_WORDS:]
+        assert np.all(body[::5, 3] == bs)
+
+    def test_scrambler_seed(self):
+        cfg = EncoderConfig(seed=ScramblerSeed(2, 1, 0))
+        check_roundtrip(cfg, n_raw=16)
+
+    def test_raw_mode_passthrough(self):
+        raw = make_raw_words(10)
+        cfg = EncoderConfig(profile=ProfileID.RAW_MODE)
+        out = pipeline.encode_profile_from_raw(jnp.asarray(raw), cfg)
+        np.testing.assert_array_equal(np.asarray(out), raw)
+        back, hdr, ok = pipeline.decode_profile_to_raw(out, raw_mode=True)
+        assert ok and hdr is None
+        np.testing.assert_array_equal(np.asarray(back), raw)
+
+    def test_empty_frame(self):
+        cfg = EncoderConfig()
+        raw = make_raw_words(0)
+        prof = pipeline.encode_profile_from_raw(jnp.asarray(raw), cfg)
+        assert prof.shape[0] == pipeline.HEADER_WORDS
+        out, hdr, ok = pipeline.decode_profile_to_raw(prof)
+        assert ok and out.shape[0] == 0
+
+
+class TestErrorCorrection:
+    def test_symbol_errors_corrected(self):
+        """Inject <= t symbol errors per codeword region; decode must still
+        be exact (the whole point of the profile pipeline)."""
+        cfg = EncoderConfig(profile=ProfileID.P3_RS26_20, uep=uep_uniform(2))
+        raw = make_raw_words(40, seed=3)
+        prof = np.asarray(pipeline.encode_profile_from_raw(jnp.asarray(raw), cfg)).copy()
+        r = np.random.default_rng(7)
+        body = prof[pipeline.HEADER_WORDS:]
+        # corrupt 2 random cells in each column (t=3 for P3; each column is a
+        # stack of codewords -- 2 errors anywhere in one codeword is fine)
+        for col in range(9):
+            rows = r.choice(min(26, body.shape[0]), size=2, replace=False)
+            body[rows, col] = (body[rows, col] + 1 + r.integers(0, 26)) % 27
+        out, hdr, ok = pipeline.decode_profile_to_raw(jnp.asarray(prof))
+        assert ok
+        out = np.asarray(out)
+        np.testing.assert_array_equal(out[:len(raw)], raw)
+
+    def test_header_corruption_corrected(self):
+        cfg = EncoderConfig()
+        raw = make_raw_words(20)
+        prof = np.asarray(pipeline.encode_profile_from_raw(jnp.asarray(raw), cfg)).copy()
+        prof[0, [1, 5]] = (prof[0, [1, 5]] + 3) % 27  # 2 errors in RS(26,18) block A
+        out, hdr, ok = pipeline.decode_profile_to_raw(jnp.asarray(prof))
+        assert ok and hdr is not None
+        np.testing.assert_array_equal(np.asarray(out)[:len(raw)], raw)
+
+    def test_destroyed_header_fails_cleanly(self):
+        cfg = EncoderConfig()
+        raw = make_raw_words(20)
+        prof = np.asarray(pipeline.encode_profile_from_raw(jnp.asarray(raw), cfg)).copy()
+        r = np.random.default_rng(1)
+        prof[:pipeline.HEADER_WORDS] = r.integers(0, 27, size=(6, 9))
+        out, hdr, ok = pipeline.decode_profile_to_raw(jnp.asarray(prof))
+        assert not ok and out is None
+
+    def test_invalid_beacon_period_rejected(self):
+        cfg = EncoderConfig(beacon=SparseBeaconCfg(words_period=40, band_slot=0,
+                                                   enabled=True))
+        with pytest.raises(ValueError):
+            pipeline.encode_profile_from_raw(jnp.asarray(make_raw_words(8)), cfg)
