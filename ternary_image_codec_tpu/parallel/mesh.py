@@ -1,0 +1,98 @@
+"""Multi-chip scaling via jax.sharding: frame-level data parallelism and
+stream sharding.
+
+The reference is single-machine single-threaded (SURVEY.md section 2.8);
+the TPU-native scaling story is:
+
+* DP over frames: a video batch is embarrassingly parallel -- shard the
+  frame axis over the mesh's `data` axis; each chip runs the full encode or
+  decode pipeline on its local frames.  Collectives appear only for global
+  status reductions (psum of ok-flags / error counters over ICI).
+* Stream sharding (the long-sequence analog): one huge frame's word stream
+  is sharded over `data`; elementwise trit math stays local, and XLA inserts
+  the boundary collectives for the few reshape/permute stages.
+
+Both paths are exercised on a virtual CPU mesh in tests and by
+__graft_entry__.dryrun_multichip.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PSpec
+
+from ..config import EncoderConfig
+from ..ops import pipeline
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def encode_frames_dp(raw_frames, cfg: EncoderConfig, mesh: Mesh):
+    """Encode a batch of identically-shaped RAW frames, frame-sharded.
+
+    raw_frames: (B, n_raw, 9) int8.  Returns (B, total, 9) profile words,
+    with B sharded over the mesh's data axis.
+    """
+    B, n_raw, _ = raw_frames.shape
+    layout = pipeline.build_encode_layout(cfg, n_raw)
+    enc_one = pipeline._encode_fn(layout)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=NamedSharding(mesh, PSpec("data", None, None)),
+        out_shardings=NamedSharding(mesh, PSpec("data", None, None)))
+    def enc(frames):
+        return jax.vmap(enc_one)(frames)
+
+    return enc(jnp.asarray(raw_frames))
+
+
+def roundtrip_step_dp(raw_frames, cfg: EncoderConfig, mesh: Mesh):
+    """Full encode->decode step over a frame batch with DP sharding.
+
+    Returns (decoded_frames, all_ok).  The ok reduction is a cross-chip
+    psum-style global reduce (XLA inserts the collective).
+    """
+    B, n_raw, _ = raw_frames.shape
+    enc_layout = pipeline.build_encode_layout(cfg, n_raw)
+    enc_one = pipeline._encode_fn(enc_layout)
+    hdr = pipeline._encode_header_words(cfg)  # noqa: F841 (decode uses header below)
+    # decode layout is derivable statically from the encoder config
+    from ..config import SuperframeHeader
+    sf = SuperframeHeader(profile=cfg.profile, uep=cfg.uep, tile=cfg.tile,
+                          seed=cfg.seed, beacon=cfg.beacon, subword=cfg.subword,
+                          centered=cfg.centered, coset=cfg.coset)
+    dec_layout = pipeline.build_decode_layout(
+        sf, enc_layout.total_words - pipeline.HEADER_WORDS)
+    dec_one = pipeline._decode_body_fn(dec_layout)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=NamedSharding(mesh, PSpec("data", None, None)),
+        out_shardings=(NamedSharding(mesh, PSpec("data", None, None)),
+                       NamedSharding(mesh, PSpec())))
+    def step(frames):
+        prof = jax.vmap(enc_one)(frames)
+        raw, ok = jax.vmap(lambda p: dec_one(p[pipeline.HEADER_WORDS:]))(prof)
+        return raw, jnp.all(ok)
+
+    return step(jnp.asarray(raw_frames))
+
+
+def encode_stream_sharded(raw_words, cfg: EncoderConfig, mesh: Mesh):
+    """Single big frame with the word stream sharded across chips."""
+    n_raw = raw_words.shape[0]
+    layout = pipeline.build_encode_layout(cfg, n_raw)
+    enc_one = pipeline._encode_fn(layout)
+    fn = jax.jit(enc_one,
+                 in_shardings=NamedSharding(mesh, PSpec("data", None)),
+                 out_shardings=NamedSharding(mesh, PSpec("data", None)))
+    return fn(jnp.asarray(raw_words))
