@@ -4,13 +4,20 @@ Multi-chip sharding paths are validated on virtual CPU devices
 (xla_force_host_platform_device_count); the real-TPU benchmark path is
 exercised by bench.py, not pytest.
 
-NB: in this environment the axon TPU plugin ignores JAX_PLATFORMS; the
-legacy JAX_PLATFORM_NAME is what actually forces the CPU backend.
+NB: this environment pre-imports jax via a sitecustomize hook and exports
+JAX_PLATFORMS=axon (a tunneled TPU backend), so `os.environ.setdefault` is
+useless — we must force-override the env var AND update the live jax config
+(backend selection is lazy, so the update sticks as long as no device op has
+run yet, which is the case at conftest import time).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
