@@ -17,8 +17,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-POW3 = np.array([1, 3, 9, 27, 81, 243, 729, 2187, 6561, 19683, 59049, 177147, 531441],
-                dtype=np.int64)  # 3^0 .. 3^12
+POW3 = np.power(3, np.arange(28, dtype=np.int64))  # 3^0 .. 3^27 (int64-exact)
 
 
 # ---------------------------------------------------------------------------
@@ -98,6 +97,25 @@ def balanced_fixed_to_int(trits):
     L = trits.shape[-1]
     w = jnp.asarray(POW3[:L], dtype=jnp.int32)
     return jnp.sum(trits.astype(jnp.int32) * w, axis=-1)
+
+
+# Host (numpy, int64-exact) variants — the device int32 versions cap at
+# L <= 19 (3^19 < 2^31); the minitest T2 property runs up to L = 27.
+
+def np_int_to_balanced_fixed(values, L: int) -> np.ndarray:
+    v = np.asarray(values, dtype=np.int64).copy()
+    digs = np.empty(v.shape + (L,), dtype=np.int8)
+    for i in range(L):
+        d = np.mod(v, 3)
+        d = np.where(d == 2, -1, d)
+        v = (v - d) // 3
+        digs[..., i] = d
+    return digs
+
+
+def np_balanced_fixed_to_int(trits) -> np.ndarray:
+    t = np.asarray(trits, dtype=np.int64)
+    return (t * POW3[: t.shape[-1]]).sum(axis=-1)
 
 
 # ---------------------------------------------------------------------------
