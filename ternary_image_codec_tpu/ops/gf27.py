@@ -209,9 +209,12 @@ def gf3_linmap(C: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def sym_to_dig(a):
+def sym_to_dig(a, dtype=jnp.int8):
+    """Digits are {0,1,2}: int8 keeps the big digit tensors 4x smaller in
+    HBM (an 8K frame's decode digit planes are GBs in int32)."""
     a = jnp.asarray(a).astype(jnp.int32)
-    return jnp.stack([a % 3, (a // 3) % 3, (a // 9) % 3], axis=-1)
+    return jnp.stack([a % 3, (a // 3) % 3, (a // 9) % 3],
+                     axis=-1).astype(dtype)
 
 
 def dig_to_sym(d):
@@ -267,8 +270,9 @@ def is_zero_dig(d):
 def mod3_matmul(x, M, out_dtype=jnp.int8):
     """x (..., n) int trits @ M (n, m) trits, mod 3.
 
-    Uses an int32-accumulating matmul so the MXU can take it on TPU.
+    int8 x int8 -> int32-accumulating matmul: the MXU's native integer mode,
+    and the operands stay 1 byte/element in HBM.
     """
-    y = jnp.matmul(x.astype(jnp.int32), jnp.asarray(M, dtype=jnp.int32),
+    y = jnp.matmul(x.astype(jnp.int8), jnp.asarray(M, dtype=jnp.int8),
                    preferred_element_type=jnp.int32)
     return (y % 3).astype(out_dtype)

@@ -46,12 +46,25 @@ def inv_perm(n: int, w: int, h: int) -> np.ndarray:
     return np.argsort(perm(n, w, h), kind="stable")
 
 
+def _snake_full(syms, w: int, h: int):
+    """Constant-free snake for streams that are whole tiles: reshape + flip
+    of odd rows (self-inverse), no O(n) index constant in the HLO."""
+    syms = jnp.asarray(syms)
+    n = syms.shape[-1]
+    t = syms.reshape(*syms.shape[:-1], n // (w * h), h, w)
+    row = jnp.arange(h)[:, None]
+    t = jnp.where(row % 2 == 1, jnp.flip(t, axis=-1), t)
+    return t.reshape(*syms.shape)
+
+
 def interleave(syms, w: int, h: int):
     """syms (..., n) -> interleaved (..., n)."""
     syms = jnp.asarray(syms)
     n = syms.shape[-1]
     if w == 0 or h == 0:
         return syms
+    if n % (w * h) == 0:
+        return _snake_full(syms, w, h)
     return jnp.take(syms, jnp.asarray(perm(n, w, h)), axis=-1)
 
 
@@ -60,4 +73,6 @@ def deinterleave(syms, w: int, h: int):
     n = syms.shape[-1]
     if w == 0 or h == 0:
         return syms
+    if n % (w * h) == 0:
+        return _snake_full(syms, w, h)  # snake is an involution per tile
     return jnp.take(syms, jnp.asarray(inv_perm(n, w, h)), axis=-1)

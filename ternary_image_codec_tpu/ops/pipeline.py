@@ -75,35 +75,29 @@ def _band_lens(n_sy: int) -> np.ndarray:
 
 @dataclasses.dataclass(frozen=True, eq=False)
 class _GridGeom:
-    """Shared encode/decode geometry of the body grid for one config + H."""
+    """Shared encode/decode geometry of the body grid for one config + H.
+
+    Pure arithmetic — no O(H) host arrays; all row/cell index vectors are
+    computed on device from iota inside the jitted functions."""
 
     H: int
     ks: Tuple[int, ...]                 # per-band RS k
     usable: Tuple[int, ...]             # payload capacity per column
     blocks: Tuple[int, ...]             # full RS codewords per column
-    rows_by_band: Tuple[np.ndarray, ...]  # payload row indices per column
-    beacon_cells: np.ndarray            # flat (row*9+col) beacon cell indices
     beacon_sym: int
 
 
 def _grid_geom(uep, beacon, H: int, beacon_sym: int) -> _GridGeom:
-    ks, usable, blocks, rows = [], [], [], []
-    brows = _beacon_rows(H, beacon.words_period) if beacon.enabled else np.zeros(0, dtype=np.int64)
+    ks, usable, blocks = [], [], []
+    n_beacon_rows = (-(-H // beacon.words_period)
+                     if beacon.enabled and beacon.words_period > 0 else 0)
     for b in range(NUM_BANDS):
         k = _band_k(uep.band_profile[b])
         ks.append(k)
-        r = np.arange(H)
-        if beacon.enabled and b == beacon.band_slot:
-            mask = np.ones(H, dtype=bool)
-            mask[brows] = False
-            r = r[mask]
-        rows.append(r)
-        usable.append(len(r))
-        blocks.append(len(r) // rs.N)
-    cells = brows * NUM_BANDS + (beacon.band_slot if beacon.enabled else 0)
-    return _GridGeom(H, tuple(ks), tuple(usable), tuple(blocks),
-                     tuple(rows), cells if beacon.enabled else np.zeros(0, dtype=np.int64),
-                     beacon_sym)
+        u = H - n_beacon_rows if (beacon.enabled and b == beacon.band_slot) else H
+        usable.append(u)
+        blocks.append(u // rs.N)
+    return _GridGeom(H, tuple(ks), tuple(usable), tuple(blocks), beacon_sym)
 
 
 # ---------------------------------------------------------------------------
@@ -117,9 +111,6 @@ class EncodeLayout:
     n_raw_words: int
     n_sy: int
     geom: _GridGeom
-    enc_block_slices: Tuple[Tuple[int, int], ...]  # (start, n_blocks) in block stream per band
-    gather_idx: np.ndarray       # (H*9,) indices into [concat(enc streams), fill0, beacon]
-    scramble_keep: np.ndarray    # (H*9,) bool: scramble this cell?
     header_words: np.ndarray     # (6, 9) int8 precomputed header words
     total_words: int
 
@@ -180,36 +171,49 @@ def build_encode_layout(cfg: EncoderConfig, n_raw_words: int,
         cfg.profile, cfg.superframe_words % 5, 0))
     geom = _grid_geom(cfg.uep, cfg.beacon, H, bsym)
 
-    # per-band encoded stream occupies blocks[b]*26 cells of its column;
-    # data for band b is padded with zero symbols to blocks[b]*k[b].
-    enc_starts, start = [], 0
-    for b in range(NUM_BANDS):
-        enc_starts.append((start, geom.blocks[b]))
-        start += geom.blocks[b] * rs.N
-    n_enc = start
-
-    # gather source: [enc streams (n_enc), zero fill (1), beacon (1)]
-    ZERO, BEACON = n_enc, n_enc + 1
-    gidx = np.full(H * NUM_BANDS, ZERO, dtype=np.int64)
-    for b in range(NUM_BANDS):
-        rows = geom.rows_by_band[b][:geom.blocks[b] * rs.N]
-        gidx[rows * NUM_BANDS + b] = enc_starts[b][0] + np.arange(len(rows))
-    gidx[geom.beacon_cells] = BEACON
-    keep = np.ones(H * NUM_BANDS, dtype=bool)
-    keep[geom.beacon_cells] = False
-
     return EncodeLayout(
         cfg=cfg, n_raw_words=n_raw_words, n_sy=n_sy, geom=geom,
-        enc_block_slices=tuple(enc_starts), gather_idx=gidx,
-        scramble_keep=keep,
         header_words=_encode_header_words(cfg, frame_seq),
         total_words=HEADER_WORDS + H)
+
+
+def _beacon_payload_rows(usable: int, period: int):
+    """Device index vector: j-th non-beacon row is r = j + j//(p-1) + 1
+    (rows with r % p == 0 carry the beacon)."""
+    j = jnp.arange(usable, dtype=jnp.int32)
+    return j + j // (period - 1) + 1
+
+
+def _grouped_rs(items, op):
+    """Run rs.encode/rs.decode once per distinct k over concatenated blocks.
+
+    items: list of (tag, blocks_array (nblk, width), k).  Returns dict
+    tag -> op result slice, preserving per-item block order.
+    """
+    by_k = {}
+    for tag, arr, k in items:
+        by_k.setdefault(k, []).append((tag, arr))
+    out = {}
+    for k, group in by_k.items():
+        cat = jnp.concatenate([a for _, a in group], axis=0)
+        res = op(cat, k)
+        is_tuple = isinstance(res, tuple)
+        start = 0
+        for tag, a in group:
+            n = a.shape[0]
+            if is_tuple:
+                out[tag] = tuple(r[start:start + n] for r in res)
+            else:
+                out[tag] = res[start:start + n]
+            start += n
+    return out
 
 
 @functools.cache
 def _encode_fn(layout: EncodeLayout):
     cfg, geom = layout.cfg, layout.geom
     n_sy = layout.n_sy
+    beacon = cfg.beacon
 
     # stream length the decoder will reconstruct (see build_decode_layout);
     # the stream is padded to this length BEFORE the P5 interleave so both
@@ -218,6 +222,8 @@ def _encode_fn(layout: EncodeLayout):
     dlens = [geom.blocks[b] * geom.ks[b] for b in range(NUM_BANDS)]
     L_out = int(min(9 * dlens[b] + b for b in range(NUM_BANDS)))
     assert L_out >= n_sy
+    needs = [geom.blocks[b] * geom.ks[b] for b in range(NUM_BANDS)]
+    max_need = max(needs) if needs else 0
 
     def fn(raw_words):
         # 1) words -> 26 useful trits each -> symbol stream (pad tail with 0)
@@ -225,33 +231,57 @@ def _encode_fn(layout: EncodeLayout):
         pad = 3 * n_sy - t.shape[0]
         if pad:
             t = jnp.pad(t, (0, pad))
-        sy = jnp.asarray(
-            t.reshape(n_sy, 3), dtype=jnp.int32)
-        sy = (sy[:, 0] + 3 * sy[:, 1] + 9 * sy[:, 2]).astype(jnp.int8)
-        sy = jnp.pad(sy, (0, L_out - n_sy))
+        sy = t.reshape(n_sy, 3).astype(jnp.int8)
+        sy = (sy[:, 0] + 3 * sy[:, 1] + 9 * sy[:, 2])  # <= 26, int8-safe
         # 2) optional 2D interleave (P5)
         if cfg.profile == ProfileID.P5_RS26_22_2D and cfg.tile.w and cfg.tile.h:
+            sy = jnp.pad(sy, (0, L_out - n_sy))
             sy = interleave.interleave(sy, cfg.tile.w, cfg.tile.h)
-        # 3) per-band RS encode (round-robin split b::9, pad to full blocks)
-        enc_parts = []
+            sy = jnp.pad(sy, (0, NUM_BANDS * max_need - L_out))
+        else:
+            sy = jnp.pad(sy, (0, NUM_BANDS * max_need - n_sy))
+        # 3) round-robin band split = one reshape (no index constants):
+        #    cols[:, b] = sy[b::9]
+        cols = sy.reshape(max_need, NUM_BANDS)
+        # per-band RS encode, one matmul per distinct k
+        enc = _grouped_rs(
+            [(b, cols[:needs[b], b].reshape(geom.blocks[b], geom.ks[b]),
+              geom.ks[b]) for b in range(NUM_BANDS) if geom.blocks[b]],
+            rs.encode)
+        # 4) build the body grid column by column (beacon via closed form)
+        out_cols = []
         for b in range(NUM_BANDS):
-            k = geom.ks[b]
-            nblk = geom.blocks[b]
-            data = sy[b::NUM_BANDS]
-            need = nblk * k
-            data = jnp.pad(data, (0, max(0, need - data.shape[0])))[:need]
-            enc = rs.encode(data.reshape(nblk, k), k).reshape(-1)
-            enc_parts.append(enc)
-        src = jnp.concatenate(
-            enc_parts + [jnp.zeros(1, dtype=jnp.int8),
-                         jnp.full(1, geom.beacon_sym, dtype=jnp.int8)])
-        # 4) scatter into the body grid via precomputed gather
-        grid = jnp.take(src, jnp.asarray(layout.gather_idx))
-        # 5) scramble payload cells; state advances over every cell
-        grid = scramble.scramble_masked(grid, cfg.seed.a, cfg.seed.b,
-                                        cfg.seed.s0,
-                                        jnp.asarray(layout.scramble_keep))
-        body = grid.reshape(geom.H, NUM_BANDS)
+            stream = (enc[b].reshape(-1) if geom.blocks[b]
+                      else jnp.zeros(0, dtype=jnp.int8))
+            stream = jnp.pad(stream, (0, geom.usable[b] - stream.shape[0]))
+            if beacon.enabled and b == beacon.band_slot:
+                if beacon.words_period == 1:
+                    col = jnp.full(geom.H, geom.beacon_sym, dtype=jnp.int8)
+                else:
+                    r = jnp.arange(geom.H, dtype=jnp.int32)
+                    is_b = r % beacon.words_period == 0
+                    payload_idx = jnp.clip(
+                        r - r // beacon.words_period - 1, 0,
+                        max(geom.usable[b] - 1, 0))
+                    col = jnp.where(is_b, jnp.int8(geom.beacon_sym),
+                                    stream[payload_idx])
+            else:
+                col = stream  # usable == H
+            out_cols.append(col)
+        grid = jnp.stack(out_cols, axis=1)
+        # 5) scramble payload cells; state advances over every cell.  The
+        #    keep-mask is computed from iota (never a host constant).
+        flat = grid.reshape(-1)
+        if beacon.enabled:
+            r = jnp.arange(geom.H, dtype=jnp.int32)
+            keep_rows = ~(r % max(beacon.words_period, 1) == 0)
+            col_hot = jnp.arange(NUM_BANDS) == beacon.band_slot
+            keep = ~((~keep_rows)[:, None] & col_hot[None, :])
+            flat = scramble.scramble_masked(flat, cfg.seed.a, cfg.seed.b,
+                                            cfg.seed.s0, keep.reshape(-1))
+        else:
+            flat = scramble.scramble(flat, cfg.seed.a, cfg.seed.b, cfg.seed.s0)
+        body = flat.reshape(geom.H, NUM_BANDS)
         return jnp.concatenate(
             [jnp.asarray(layout.header_words, dtype=jnp.int8), body], axis=0)
 
@@ -280,7 +310,7 @@ class DecodeLayout:
     hdr: SuperframeHeader
     H: int
     geom: _GridGeom
-    out_idx: np.ndarray        # (L_out,) into concat(band data streams)
+    L_out: int
     n_out_words: int
 
 
@@ -290,14 +320,11 @@ def build_decode_layout(hdr: SuperframeHeader, H: int) -> DecodeLayout:
     geom = _grid_geom(hdr.uep, hdr.beacon, H, bsym)
     # decoded data stream lengths per band
     dlens = [geom.blocks[b] * geom.ks[b] for b in range(NUM_BANDS)]
-    starts = np.concatenate([[0], np.cumsum(dlens)])[:NUM_BANDS]
     # re-round-robin: out[i] = band_data[i % 9][i // 9]; band b can supply
     # indices i % 9 == b only while i // 9 < dlens[b], so
     L_out = int(min(9 * dlens[b] + b for b in range(NUM_BANDS)))
-    i = np.arange(L_out)
-    out_idx = starts[i % NUM_BANDS] + i // NUM_BANDS
     n_out_words = (L_out * 3) // 26
-    return DecodeLayout(hdr=hdr, H=H, geom=geom, out_idx=out_idx,
+    return DecodeLayout(hdr=hdr, H=H, geom=geom, L_out=L_out,
                         n_out_words=n_out_words)
 
 
@@ -325,25 +352,43 @@ def decode_header_from_words(words) -> Tuple[Optional[SuperframeHeader], bool]:
 @functools.cache
 def _decode_body_fn(layout: DecodeLayout):
     hdr, geom = layout.hdr, layout.geom
+    beacon = hdr.beacon
+    dlens = [geom.blocks[b] * geom.ks[b] for b in range(NUM_BANDS)]
+    max_d = max(dlens) if dlens else 0
 
     def fn(body_words):
         flat = body_words.reshape(-1)
         flat = scramble.descramble(flat, hdr.seed.a, hdr.seed.b, hdr.seed.s0)
         grid = flat.reshape(geom.H, NUM_BANDS)
-        datas, oks = [], []
+        # per-band payload columns; beacon rows skipped via closed form
+        items, oks = [], []
         for b in range(NUM_BANDS):
             nblk, k = geom.blocks[b], geom.ks[b]
-            col = grid[jnp.asarray(geom.rows_by_band[b][:nblk * rs.N]), b]
-            d, ok = rs.decode(col.reshape(nblk, rs.N), k)
-            datas.append(d.reshape(-1))
+            if nblk == 0:
+                continue
+            col = grid[:, b]
+            if beacon.enabled and b == beacon.band_slot:
+                rows = _beacon_payload_rows(geom.usable[b],
+                                            beacon.words_period)
+                col = col[rows]
+            items.append((b, col[:nblk * rs.N].reshape(nblk, rs.N), k))
+        dec = _grouped_rs(items, rs.decode)
+        datas = []
+        for b in range(NUM_BANDS):
+            if geom.blocks[b] == 0:
+                datas.append(jnp.zeros(max_d, dtype=jnp.int8))
+                continue
+            d, ok = dec[b]
+            datas.append(jnp.pad(d.reshape(-1), (0, max_d - dlens[b])))
             oks.append(ok)
-        data_cat = jnp.concatenate(datas) if datas else jnp.zeros(0, jnp.int8)
         ok_all = jnp.all(jnp.concatenate(oks)) if oks else jnp.asarray(True)
-        sy = jnp.take(data_cat, jnp.asarray(layout.out_idx))
+        # re-round-robin merge = transpose (no index constants):
+        # out[i] = band_data[i % 9][i // 9]
+        sy = jnp.stack(datas, axis=1).reshape(-1)[:layout.L_out]
         if hdr.profile == ProfileID.P5_RS26_22_2D and hdr.tile.w and hdr.tile.h:
             sy = interleave.deinterleave(sy, hdr.tile.w, hdr.tile.h)
         # syms -> trits -> RAW words (26 trits/word + forced zero 27th trit)
-        s = sy.astype(jnp.int32)
+        s = sy.astype(jnp.int8)
         t = jnp.stack([s % 3, (s // 3) % 3, (s // 9) % 3], axis=-1).reshape(-1)
         t = t[:layout.n_out_words * 26].reshape(layout.n_out_words, 26)
         t = jnp.concatenate(

@@ -153,8 +153,9 @@ def _berlekamp_massey(S_dig, r: int, smax: int):
 
     Fixed r iterations; branchless masked updates (lax.fori_loop)."""
     B_ = S_dig.shape[0]
-    zeros3 = jnp.zeros((B_, 3), dtype=jnp.int32)
-    one_poly = jnp.zeros((B_, smax, 3), dtype=jnp.int32).at[:, 0, 0].set(1)
+    S_dig = S_dig.astype(jnp.int8)
+    zeros3 = jnp.zeros((B_, 3), dtype=jnp.int8)
+    one_poly = jnp.zeros((B_, smax, 3), dtype=jnp.int8).at[:, 0, 0].set(1)
 
     def shift_poly(p, m):
         # x^m * p per block; m: (B,) traced. out[j] = p[j-m] if j>=m else 0
@@ -176,7 +177,9 @@ def _berlekamp_massey(S_dig, r: int, smax: int):
             S_dig, jnp.broadcast_to(idxc[..., None], (B_, smax - 1, 3)), axis=1)
         terms = mul_dig(sigma[:, 1:], Sg)
         terms = jnp.where(valid[..., None], terms, 0)
-        d = (S_dig[:, n] + terms.sum(axis=1)) % 3          # (B, 3)
+        # jnp.sum upcasts int8 to int32; force the carry back to int8
+        d = ((S_dig[:, n] + terms.sum(axis=1, dtype=jnp.int32)) % 3
+             ).astype(jnp.int8)                            # (B, 3)
 
         dz = jnp.sum(d, axis=-1) == 0                      # (B,)
         coef = mul_dig(d, inv_dig(bdig))                   # d / b
@@ -217,37 +220,36 @@ def decode(recv, k: int):
 
     recv_dig = sym_to_dig(recv)                              # (B, 26, 3)
     S_dig = mod3_matmul(recv_dig.reshape(B_, 3 * N), M["S3"],
-                        out_dtype=jnp.int32).reshape(B_, r, 3)
+                        out_dtype=jnp.int8).reshape(B_, r, 3)
     synd_zero = jnp.all(S_dig.reshape(B_, 3 * r) == 0, axis=-1)
 
-    sigma, L = _berlekamp_massey(S_dig.astype(jnp.int32), r, smax)
+    sigma, L = _berlekamp_massey(S_dig, r, smax)
 
     # Chien search over all 26 positions at once
     ev = mod3_matmul(sigma.reshape(B_, 3 * smax), M["CH3"],
-                     out_dtype=jnp.int32).reshape(B_, N, 3)
+                     out_dtype=jnp.int8).reshape(B_, N, 3)
     root = jnp.sum(ev, axis=-1) == 0                        # (B, 26)
     nroots = jnp.sum(root, axis=-1)
 
     # Omega = S(x) sigma(x) mod x^r  (variable x variable conv, r<=8 terms)
-    Om = jnp.zeros((B_, r, 3), dtype=jnp.int32)
+    Om = jnp.zeros((B_, r, 3), dtype=jnp.int8)
     for j in range(r):
-        acc = jnp.zeros((B_, 3), dtype=jnp.int32)
+        acc = jnp.zeros((B_, 3), dtype=jnp.int8)
         for i in range(max(0, j - smax + 1), j + 1):
-            acc = add_dig(acc, mul_dig(S_dig[:, i].astype(jnp.int32),
-                                       sigma[:, j - i]))
+            acc = add_dig(acc, mul_dig(S_dig[:, i], sigma[:, j - i]))
         Om = Om.at[:, j].set(acc)
 
     num = mod3_matmul(Om.reshape(B_, 3 * r), M["OM3"],
-                      out_dtype=jnp.int32).reshape(B_, N, 3)
+                      out_dtype=jnp.int8).reshape(B_, N, 3)
     den = mod3_matmul(sigma.reshape(B_, 3 * smax), M["SP3"],
-                      out_dtype=jnp.int32).reshape(B_, N, 3)
+                      out_dtype=jnp.int8).reshape(B_, N, 3)
     # error value Y at root position: Y = -Omega(X)/sigma'(X); corrected = recv - Y
     Y = (-mul_dig(num, inv_dig(den))) % 3
     corr = jnp.where(root[..., None], (-Y) % 3, 0)
     fixed_dig = (recv_dig + corr) % 3                        # (B, 26, 3)
 
     # robust failure detection: recompute syndromes of the corrected word
-    S2 = mod3_matmul(fixed_dig.reshape(B_, 3 * N), M["S3"], out_dtype=jnp.int32)
+    S2 = mod3_matmul(fixed_dig.reshape(B_, 3 * N), M["S3"], out_dtype=jnp.int8)
     ok = jnp.all(S2 == 0, axis=-1) & (nroots <= t) & (nroots == L)
     ok = ok | synd_zero
 

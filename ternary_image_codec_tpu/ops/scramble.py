@@ -52,8 +52,8 @@ def np_offsets(n: int, a: int, b: int, s0: int) -> np.ndarray:
 def scramble(syms, a, b, s0):
     """Scramble a flat symbol stream: s_t += 13*st_t in digit space."""
     syms = jnp.asarray(syms)
-    off = offsets(syms.shape[-1], a, b, s0, dtype=jnp.int32)
-    s = syms.astype(jnp.int32)
+    off = offsets(syms.shape[-1], a, b, s0, dtype=jnp.int8)
+    s = syms.astype(jnp.int8)
     d0 = (s % 3 + off) % 3
     d1 = ((s // 3) % 3 + off) % 3
     d2 = ((s // 9) % 3 + off) % 3
@@ -62,8 +62,8 @@ def scramble(syms, a, b, s0):
 
 def descramble(syms, a, b, s0):
     syms = jnp.asarray(syms)
-    off = offsets(syms.shape[-1], a, b, s0, dtype=jnp.int32)
-    s = syms.astype(jnp.int32)
+    off = offsets(syms.shape[-1], a, b, s0, dtype=jnp.int8)
+    s = syms.astype(jnp.int8)
     d0 = (s % 3 - off) % 3
     d1 = ((s // 3) % 3 - off) % 3
     d2 = ((s // 9) % 3 - off) % 3
