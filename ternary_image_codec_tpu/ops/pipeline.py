@@ -46,6 +46,7 @@ from typing import Optional, Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..config import (BeaconPayload, EncoderConfig, NUM_BANDS, ProfileID,
                       SuperframeHeader, encode_beacon_symbol, rs_params_for)
@@ -396,6 +397,92 @@ def _decode_body_fn(layout: DecodeLayout):
         return subword.trits_to_words(t), ok_all
 
     return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# superframe streaming (bounded-size superframes, reference default 8192
+# words -- EncoderConfig.superframe_words, old/.../v6_min.hpp:869)
+# ---------------------------------------------------------------------------
+
+
+def _ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@functools.cache
+def _stream_fns(cfg: EncoderConfig, sf_batch: int):
+    layout = build_encode_layout(cfg, cfg.superframe_words)
+    enc_one = _encode_fn(layout)
+    sf_hdr = SuperframeHeader(
+        profile=cfg.profile, uep=cfg.uep, tile=cfg.tile, seed=cfg.seed,
+        beacon=cfg.beacon, subword=cfg.subword, centered=cfg.centered,
+        coset=cfg.coset)
+    dlayout = build_decode_layout(sf_hdr, layout.total_words - HEADER_WORDS)
+    dec_one = _decode_body_fn(dlayout)
+
+    def _rebatch(x):
+        # pad the superframe axis to a multiple of sf_batch (repeat last)
+        # so lax.map sees equal micro-batches; callers slice back.
+        n = x.shape[0]
+        nb = _ceil_div(n, sf_batch)
+        pad = nb * sf_batch - n
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+        return x.reshape(nb, sf_batch, *x.shape[1:])
+
+    @jax.jit
+    def enc_stream(chunks):  # (n_sf, sf_words, 9) -> (n_sf, total, 9)
+        n = chunks.shape[0]
+        out = lax.map(jax.vmap(enc_one), _rebatch(chunks))
+        return out.reshape(-1, layout.total_words, NUM_BANDS)[:n]
+
+    @jax.jit
+    def dec_stream(words):  # (n_sf, total, 9) -> ((n_sf, out_words, 9), ok)
+        n = words.shape[0]
+        raw, ok = lax.map(jax.vmap(dec_one),
+                          _rebatch(words[:, HEADER_WORDS:, :]))
+        raw = raw.reshape(-1, dlayout.n_out_words, NUM_BANDS)[:n]
+        return raw, jnp.all(ok)
+
+    return layout, dlayout, enc_stream, dec_stream
+
+
+def encode_stream_superframes(raw_words, cfg: EncoderConfig,
+                              sf_batch: int = 64):
+    """RAW words -> (n_sf, total_words, 9) profile words, one bounded
+    superframe per cfg.superframe_words RAW words.
+
+    lax.map over vmapped micro-batches: peak memory is O(sf_batch
+    superframes) regardless of frame size; the micro-batch keeps the RS
+    matmuls MXU-sized.  The tail superframe is zero-padded (decoders recover
+    exactly n_raw words from the caller's count).
+    """
+    raw_words = jnp.asarray(raw_words)
+    n = int(raw_words.shape[0])
+    sf = cfg.superframe_words
+    n_sf = _ceil_div(n, sf)
+    pad = n_sf * sf - n
+    if pad:
+        raw_words = jnp.concatenate(
+            [raw_words, jnp.zeros((pad, NUM_BANDS), dtype=raw_words.dtype)])
+    chunks = raw_words.reshape(n_sf, sf, NUM_BANDS)
+    _layout, _dl, enc, _dec = _stream_fns(cfg, sf_batch)
+    return enc(chunks)
+
+
+def decode_stream_superframes(words, cfg: EncoderConfig, n_raw: int,
+                              sf_batch: int = 64):
+    """(n_sf, total_words, 9) profile words -> (n_raw, 9) RAW words + ok.
+
+    Each superframe decodes to n_out_words >= superframe_words; only the
+    first superframe_words per chunk are payload (the rest is RS-block
+    padding), so slice per-chunk before flattening.
+    """
+    words = jnp.asarray(words)
+    _layout, _dl, _enc, dec = _stream_fns(cfg, sf_batch)
+    raw, ok = dec(words)
+    raw = raw[:, :cfg.superframe_words, :].reshape(-1, NUM_BANDS)[:n_raw]
+    return raw, ok
 
 
 def decode_profile_to_raw(words, raw_mode: bool = False):

@@ -87,6 +87,56 @@ def roundtrip_step_dp(raw_frames, cfg: EncoderConfig, mesh: Mesh):
     return step(jnp.asarray(raw_frames))
 
 
+def roundtrip_superframes_dp(raw_words, cfg: EncoderConfig, mesh: Mesh,
+                             sf_batch: int = 4):
+    """Superframe-sharded encode+decode of ONE large frame.
+
+    The frame is chunked into bounded superframes (cfg.superframe_words);
+    the superframe axis shards over the mesh's data axis -- each chip
+    encodes+decodes its local chunk of the stream, and only the ok-flag
+    reduction crosses ICI.  This is the multi-chip scaling path for frames
+    too large for one chip's HBM.
+    """
+    raw_words = jnp.asarray(raw_words)
+    n = int(raw_words.shape[0])
+    sf = cfg.superframe_words
+    n_dev = mesh.devices.size
+    n_sf = -(-n // sf)
+    n_sf = -(-n_sf // n_dev) * n_dev  # round superframe count to mesh size
+    pad = n_sf * sf - n
+    if pad:
+        raw_words = jnp.concatenate(
+            [raw_words, jnp.zeros((pad, 9), dtype=raw_words.dtype)])
+    chunks = raw_words.reshape(n_sf, sf, 9)
+    # vmap (not lax.map) over the superframe axis: GSPMD partitions a
+    # batched op cleanly across the mesh, whereas a scan/map axis would be
+    # serialized (and gathered).  Per-chip live batch = n_sf / n_devices.
+    enc_layout = pipeline.build_encode_layout(cfg, sf)
+    enc_one = pipeline._encode_fn(enc_layout)
+    from ..config import SuperframeHeader
+    sf_hdr = SuperframeHeader(profile=cfg.profile, uep=cfg.uep, tile=cfg.tile,
+                              seed=cfg.seed, beacon=cfg.beacon,
+                              subword=cfg.subword, centered=cfg.centered,
+                              coset=cfg.coset)
+    dlayout = pipeline.build_decode_layout(
+        sf_hdr, enc_layout.total_words - pipeline.HEADER_WORDS)
+    dec_one = pipeline._decode_body_fn(dlayout)
+
+    sharded = NamedSharding(mesh, PSpec("data", None, None))
+
+    @functools.partial(jax.jit, in_shardings=sharded,
+                       out_shardings=(sharded, NamedSharding(mesh, PSpec())))
+    def step(c):
+        prof = jax.vmap(enc_one)(c)
+        out, ok = jax.vmap(
+            lambda p: dec_one(p[pipeline.HEADER_WORDS:]))(prof)
+        return out, jnp.all(ok)
+
+    out, ok = step(chunks)
+    raw_out = out[:, :sf, :].reshape(-1, 9)[:n]
+    return raw_out, ok
+
+
 def encode_stream_sharded(raw_words, cfg: EncoderConfig, mesh: Mesh):
     """Single big frame with the word stream sharded across chips."""
     n_raw = raw_words.shape[0]

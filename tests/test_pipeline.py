@@ -140,3 +140,42 @@ class TestErrorCorrection:
                                                    enabled=True))
         with pytest.raises(ValueError):
             pipeline.encode_profile_from_raw(jnp.asarray(make_raw_words(8)), cfg)
+
+
+class TestSuperframeStreaming:
+    """Bounded-superframe streaming mode (reference superframe_words=8192,
+    old/.../v6_min.hpp:869): chunked encode/decode with lax.map micro-batches."""
+
+    def test_stream_roundtrip_with_tail(self):
+        import dataclasses
+        from ternary_image_codec_tpu.config import (EncoderConfig, ProfileID,
+                                                    uep_luma_priority)
+        cfg = EncoderConfig(profile=ProfileID.P2_RS26_22,
+                            uep=uep_luma_priority(), superframe_words=64)
+        r = np.random.default_rng(0)
+        n_raw = 64 * 5 + 17  # partial tail superframe
+        t = r.integers(0, 3, size=(n_raw, 27)).astype(np.int8)
+        t[:, 26] = 0
+        raw = (t.reshape(n_raw, 9, 3) * np.array([1, 3, 9])).sum(-1).astype(np.int8)
+        prof = pipeline.encode_stream_superframes(raw, cfg, sf_batch=2)
+        assert prof.shape[0] == 6  # ceil(337/64)
+        out, ok = pipeline.decode_stream_superframes(prof, cfg, n_raw,
+                                                     sf_batch=2)
+        assert bool(ok)
+        assert np.array_equal(np.asarray(out), raw)
+
+    def test_each_superframe_is_a_valid_standalone_frame(self):
+        from ternary_image_codec_tpu.config import (EncoderConfig, ProfileID,
+                                                    uep_uniform)
+        cfg = EncoderConfig(profile=ProfileID.P1_RS26_24, uep=uep_uniform(0),
+                            superframe_words=32)
+        r = np.random.default_rng(1)
+        n_raw = 96
+        t = r.integers(0, 3, size=(n_raw, 27)).astype(np.int8)
+        t[:, 26] = 0
+        raw = (t.reshape(n_raw, 9, 3) * np.array([1, 3, 9])).sum(-1).astype(np.int8)
+        prof = pipeline.encode_stream_superframes(raw, cfg)
+        # decode superframe 1 alone through the generic single-frame API
+        out, hdr, ok = pipeline.decode_profile_to_raw(jnp.asarray(prof[1]))
+        assert ok and hdr.profile == ProfileID.P1_RS26_24
+        assert np.array_equal(np.asarray(out)[:32], raw[32:64])
