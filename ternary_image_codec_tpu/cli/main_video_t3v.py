@@ -1,0 +1,73 @@
+"""main_video_t3v — PNG list -> per-frame profile encode -> T3V1-old
+container + T3VI index sidecar + per-frame PNG exports + optional mp4
+(old/src/main_video_t3v.cpp:16-40)."""
+from __future__ import annotations
+
+import argparse
+import os
+import struct
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import (EncoderConfig, ProfileID, SubwordMode, Tile2D,
+                      centered_window, std_res_for)
+from ..io import image as I
+from ..io import legacy_containers as LC
+from ..io import video as V
+from ..ops import pipeline as PL
+from ..ops import quant as Q
+from ..ops import wordcodec as WC
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="main_video_t3v")
+    ap.add_argument("inputs", nargs="+", help="input PNGs... then out.t3v")
+    ap.add_argument("--frames-dir", default=".")
+    ap.add_argument("--mp4", default=None,
+                    help="optionally assemble an mp4 from the PNG exports")
+    args = ap.parse_args(argv)
+    if len(args.inputs) < 2:
+        ap.error("need at least one input image and the output .t3v")
+    inputs, out = args.inputs[:-1], args.inputs[-1]
+
+    cfg = EncoderConfig(profile=ProfileID.P2_RS26_22, tile=Tile2D(64, 64))
+    sw, sh = std_res_for(SubwordMode.S27)
+    hdr = LC.T3VOldHeader(file_type=1, profile=cfg.profile,
+                          subword=cfg.subword, centered=True,
+                          coset=cfg.coset, width=sw, height=sh,
+                          aw=centered_window(SubwordMode.S27),
+                          fps_num=30000, fps_den=1001,
+                          frame_count=len(inputs))
+
+    os.makedirs(args.frames_dir, exist_ok=True)
+    offsets = []
+    with open(out, "wb") as f:
+        f.write(LC._t3v_old_header_bytes(hdr))
+        for fi, path in enumerate(inputs):
+            rgb = I.load_image_rgb8(path)
+            h, w = rgb.shape[0], rgb.shape[1]
+            q = Q.rgb_to_quant(jnp.asarray(rgb)).reshape(-1, 3)
+            raw = WC.quant_to_words9(q)
+            prof = np.asarray(PL.encode_profile_from_raw(raw, cfg))
+            offsets.append(f.tell())
+            f.write(LC._t3v_old_frame_bytes(prof))
+            # per-frame RAW PNG export (old/src/main_video_t3v.cpp:31)
+            qs = WC.words9_to_quant(raw, n_pixels=w * h)
+            rgb2 = np.asarray(Q.quant_to_rgb(qs)).reshape(h, w, 3)
+            I.save_image_png(os.path.join(args.frames_dir,
+                                          f"frame_{fi:05d}.png"), rgb2)
+    LC.t3vi_write(out + ".t3vi", offsets)
+
+    if args.mp4:
+        pattern = os.path.join(args.frames_dir, "frame_%05d.png")
+        if V.ffmpeg_from_png_pattern(pattern, args.mp4, fps=30000 / 1001):
+            print(f"assembled {args.mp4}")
+        else:
+            print("ffmpeg unavailable; skipped mp4 assembly")
+    print(f"Wrote {out} with {len(inputs)} frames.")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
