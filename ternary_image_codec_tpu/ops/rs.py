@@ -149,57 +149,66 @@ def syndromes(recv, k: int):
 
 
 def _berlekamp_massey(S_dig, r: int, smax: int):
-    """Batched BM. S_dig: (B, r, 3) syndrome digits -> sigma digits (B, smax, 3).
+    """Batched INVERSIONLESS BM (Burton variant).
 
-    Fixed r iterations; branchless masked updates (lax.fori_loop)."""
+    S_dig: (B, r, 3) syndrome digits -> sigma digits (B, smax, 3), scaled by
+    an arbitrary nonzero field constant per block.  The scale is harmless:
+    Chien roots are invariant, and Forney's Y = -Omega(X)/sigma'(X) cancels
+    it (Omega = S*sigma mod x^r and sigma' scale identically).
+
+    TPU-first choices (each was a measured multi-second pathology at frame
+    batch sizes otherwise):
+    * iterations (r <= 8) unrolled in Python -> all syndrome-window reads
+      are static slices (no take_along_axis gathers);
+    * x^m * B(x) is a select over the <= r possible static shifts;
+    * NO field inversion inside the loop -- the classic d/b division is
+      replaced by the inversionless update sigma <- b*sigma - d*(x^m B)
+      (an inv chain inside the unrolled loop exploded the XLA graph).
+    Branch decisions are branchless masked updates over the whole batch.
+    """
     B_ = S_dig.shape[0]
     S_dig = S_dig.astype(jnp.int8)
     zeros3 = jnp.zeros((B_, 3), dtype=jnp.int8)
     one_poly = jnp.zeros((B_, smax, 3), dtype=jnp.int8).at[:, 0, 0].set(1)
 
-    def shift_poly(p, m):
-        # x^m * p per block; m: (B,) traced. out[j] = p[j-m] if j>=m else 0
-        j = jnp.arange(smax)[None, :]                      # (1, smax)
-        src = j - m[:, None]                               # (B, smax)
-        valid = src >= 0
-        src = jnp.clip(src, 0, smax - 1)
-        gathered = jnp.take_along_axis(p, src[..., None], axis=1)
-        return jnp.where(valid[..., None], gathered, 0)
+    def shift_static(p, k: int):
+        # x^k * p with static k: out[j] = p[j-k], zeros below degree k
+        if k == 0:
+            return p
+        return jnp.concatenate(
+            [jnp.zeros((B_, k, 3), dtype=p.dtype), p[:, :smax - k]], axis=1)
 
-    def body(n, st):
-        sigma, Bp, bdig, L, m = st
-        # discrepancy d = S_n + sum_{i=1..smax-1} sigma_i * S_{n-i}
-        i = jnp.arange(1, smax)[None, :]                   # (1, smax-1)
-        idx = n - i                                        # (1, smax-1)
-        valid = idx >= 0
-        idxc = jnp.clip(idx, 0, r - 1)
-        Sg = jnp.take_along_axis(
-            S_dig, jnp.broadcast_to(idxc[..., None], (B_, smax - 1, 3)), axis=1)
-        terms = mul_dig(sigma[:, 1:], Sg)
-        terms = jnp.where(valid[..., None], terms, 0)
-        # jnp.sum upcasts int8 to int32; force the carry back to int8
-        d = ((S_dig[:, n] + terms.sum(axis=1, dtype=jnp.int32)) % 3
-             ).astype(jnp.int8)                            # (B, 3)
+    sigma, Bp = one_poly, one_poly
+    bdig = zeros3.at[:, 0].set(1)   # last nonzero discrepancy (init 1)
+    L = jnp.zeros((B_,), dtype=jnp.int32)
+    m = jnp.ones((B_,), dtype=jnp.int32)
+
+    for n in range(r):
+        # discrepancy d = sum_{i=0..min(n,smax-1)} sigma_i * S_{n-i}
+        # (sigma_0 is NOT 1 here -- sigma carries a per-block scale)
+        d = mul_dig(sigma[:, 0], S_dig[:, n]).astype(jnp.int32)
+        for i in range(1, min(n, smax - 1) + 1):
+            d = d + mul_dig(sigma[:, i], S_dig[:, n - i]).astype(jnp.int32)
+        d = (d % 3).astype(jnp.int8)                       # (B, 3)
 
         dz = jnp.sum(d, axis=-1) == 0                      # (B,)
-        coef = mul_dig(d, inv_dig(bdig))                   # d / b
-        shifted = shift_poly(Bp, m)                        # x^m * B
-        upd = (sigma - mul_dig(jnp.broadcast_to(coef[:, None], shifted.shape),
-                               shifted)) % 3
-        new_sigma = jnp.where(dz[:, None, None], sigma, upd)
+        # x^m * B with per-block m in {1..n+1}: select over static shifts
+        shifted = shift_static(Bp, 1)
+        for k in range(2, n + 2):
+            shifted = jnp.where((m == k)[:, None, None],
+                                shift_static(Bp, k), shifted)
+        # inversionless update: sigma <- b*sigma - d*(x^m B)
+        upd = (mul_dig(jnp.broadcast_to(bdig[:, None], sigma.shape), sigma)
+               - mul_dig(jnp.broadcast_to(d[:, None], shifted.shape),
+                         shifted)) % 3
+        sigma_new = jnp.where(dz[:, None, None], sigma, upd)
 
         grow = (~dz) & (2 * L <= n)
-        new_B = jnp.where(grow[:, None, None], sigma, Bp)
-        new_b = jnp.where(grow[:, None], d, bdig)
-        new_L = jnp.where(grow, n + 1 - L, L)
-        new_m = jnp.where(grow, 1, m + 1)
-        return (new_sigma, new_B, new_b, new_L, new_m)
-
-    init = (one_poly, one_poly,
-            zeros3.at[:, 0].set(1),
-            jnp.zeros((B_,), dtype=jnp.int32),
-            jnp.ones((B_,), dtype=jnp.int32))
-    sigma, _, _, L, _ = lax.fori_loop(0, r, body, init)
+        Bp = jnp.where(grow[:, None, None], sigma, Bp)
+        bdig = jnp.where(grow[:, None], d, bdig)
+        L = jnp.where(grow, n + 1 - L, L)
+        m = jnp.where(grow, 1, m + 1)
+        sigma = sigma_new
     return sigma, L
 
 
