@@ -46,20 +46,25 @@ def main():
     def step(c):
         prof = enc(c)
         out, ok = dec(prof)
-        return out, ok
+        # fold to a scalar so timing forces full materialization on device
+        # (plain block_until_ready is unreliable over the remote tunnel)
+        return out, ok, jnp.sum(out.astype(jnp.int32))
 
-    # warmup / compile
-    out, ok = step(chunks)
-    out.block_until_ready()
+    # warmup / compile + correctness check
+    out, ok, _chk = step(chunks)
     assert bool(ok), "roundtrip failed"
     got = np.asarray(out[:, :sf, :]).reshape(-1, 9)[:16]
     assert np.array_equal(got, np.asarray(raw[:16]))
 
-    iters = 5
+    # distinct input per iteration: defeats any remote result caching
+    iters = 4
+    variants = [(chunks + i) % 27 for i in range(1, iters + 1)]
+    for v in variants:
+        v.block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out, ok = step(chunks)
-    out.block_until_ready()
+    for v in variants:
+        _out, _ok, chk = step(v)
+        _ = float(chk)  # host sync on a scalar
     dt = (time.perf_counter() - t0) / iters
     fps = 1.0 / dt
 

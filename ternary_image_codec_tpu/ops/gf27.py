@@ -263,6 +263,24 @@ def inv_dig(d):
     return mul_dig(mul_dig(a16, a8), d)
 
 
+@functools.cache
+def _inv_dig_table() -> np.ndarray:
+    """(27, 3) int8: digits of a^-1 for every symbol a (inv(0) = 0)."""
+    return np_sym_to_dig(tables()["inv"]).astype(np.int8)
+
+
+def inv_dig_onehot(d):
+    """Field inverse via one-hot x (27,3) table matmul.
+
+    Gather-free and far cheaper than the Fermat chain for large batches:
+    the 27 equality comparisons fuse, and the contraction rides the MXU.
+    """
+    sym = dig_to_sym(d).astype(jnp.int8)                    # (...,)
+    onehot = (sym[..., None] == jnp.arange(27, dtype=jnp.int8)).astype(jnp.int8)
+    return jnp.matmul(onehot, jnp.asarray(_inv_dig_table()),
+                      preferred_element_type=jnp.int32).astype(jnp.int8)
+
+
 def is_zero_dig(d):
     return jnp.sum(d, axis=-1) == 0
 

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import gf27
-from .gf27 import (add_dig, dig_to_sym, inv_dig, mod3_matmul, mul_dig,
+from .gf27 import (add_dig, dig_to_sym, inv_dig, inv_dig_onehot,
+                   mod3_matmul, mul_dig,
                    np_alpha_pow, np_gf_mul, np_gf_neg, np_gf_solve,
                    np_poly_mod, sym_to_dig)
 
@@ -253,7 +254,7 @@ def decode(recv, k: int):
     den = mod3_matmul(sigma.reshape(B_, 3 * smax), M["SP3"],
                       out_dtype=jnp.int8).reshape(B_, N, 3)
     # error value Y at root position: Y = -Omega(X)/sigma'(X); corrected = recv - Y
-    Y = (-mul_dig(num, inv_dig(den))) % 3
+    Y = (-mul_dig(num, inv_dig_onehot(den))) % 3
     corr = jnp.where(root[..., None], (-Y) % 3, 0)
     fixed_dig = (recv_dig + corr) % 3                        # (B, 26, 3)
 
