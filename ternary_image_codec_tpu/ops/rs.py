@@ -168,49 +168,59 @@ def _berlekamp_massey(S_dig, r: int, smax: int):
     Branch decisions are branchless masked updates over the whole batch.
     """
     B_ = S_dig.shape[0]
-    S_dig = S_dig.astype(jnp.int8)
-    zeros3 = jnp.zeros((B_, 3), dtype=jnp.int8)
-    one_poly = jnp.zeros((B_, smax, 3), dtype=jnp.int8).at[:, 0, 0].set(1)
+    # Whole-polynomial digit layout (coeff, digit, B): the batch axis is the
+    # (last) lane axis, so the VPU sees full (8,128) tiles, and each
+    # polynomial-wide field op is ONE set of elementwise ops (the previous
+    # per-coefficient formulation compiled ~10x more HLO).
+    S3d = S_dig.astype(jnp.int8).transpose(1, 2, 0)        # (r, 3, B)
 
-    def shift_static(p, k: int):
-        # x^k * p with static k: out[j] = p[j-k], zeros below degree k
-        if k == 0:
-            return p
-        return jnp.concatenate(
-            [jnp.zeros((B_, k, 3), dtype=p.dtype), p[:, :smax - k]], axis=1)
+    def m3(a, b):
+        """GF(27) product, digit axis = -2; shapes broadcast on axis 0."""
+        a0, a1, a2 = a[..., 0, :], a[..., 1, :], a[..., 2, :]
+        b0, b1, b2 = b[..., 0, :], b[..., 1, :], b[..., 2, :]
+        r0 = a0 * b0
+        r1 = a0 * b1 + a1 * b0
+        r2 = a0 * b2 + a1 * b1 + a2 * b0
+        r3 = a1 * b2 + a2 * b1
+        r4 = a2 * b2
+        return jnp.stack([(r0 + 2 * r3) % 3, (r1 + r3 + 2 * r4) % 3,
+                          (r2 + r4) % 3], axis=-2)
 
-    sigma, Bp = one_poly, one_poly
-    bdig = zeros3.at[:, 0].set(1)   # last nonzero discrepancy (init 1)
+    sigma = jnp.zeros((smax, 3, B_), dtype=jnp.int8).at[0, 0].set(1)
+    Bp = sigma
+    bdig = jnp.zeros((1, 3, B_), dtype=jnp.int8).at[0, 0].set(1)
     L = jnp.zeros((B_,), dtype=jnp.int32)
     m = jnp.ones((B_,), dtype=jnp.int32)
 
     for n in range(r):
         # discrepancy d = sum_{i=0..min(n,smax-1)} sigma_i * S_{n-i}
         # (sigma_0 is NOT 1 here -- sigma carries a per-block scale)
-        d = mul_dig(sigma[:, 0], S_dig[:, n]).astype(jnp.int32)
-        for i in range(1, min(n, smax - 1) + 1):
-            d = d + mul_dig(sigma[:, i], S_dig[:, n - i]).astype(jnp.int32)
-        d = (d % 3).astype(jnp.int8)                       # (B, 3)
+        cnt = min(n, smax - 1) + 1
+        Swin = S3d[n::-1][:cnt]                            # S_n, S_{n-1}, ...
+        terms = m3(sigma[:cnt], Swin)                      # (cnt, 3, B)
+        d = (jnp.sum(terms, axis=0, dtype=jnp.int32) % 3
+             ).astype(jnp.int8)[None]                      # (1, 3, B)
 
-        dz = jnp.sum(d, axis=-1) == 0                      # (B,)
+        dz = jnp.sum(d[0], axis=0) == 0                    # (B,) bool
         # x^m * B with per-block m in {1..n+1}: select over static shifts
-        shifted = shift_static(Bp, 1)
+        zrow = jnp.zeros((1, 3, B_), dtype=jnp.int8)
+        shifted = jnp.concatenate([zrow, Bp[:smax - 1]], axis=0)  # m == 1
         for k in range(2, n + 2):
-            shifted = jnp.where((m == k)[:, None, None],
-                                shift_static(Bp, k), shifted)
+            sh_k = jnp.concatenate(
+                [jnp.zeros((k, 3, B_), dtype=jnp.int8), Bp[:smax - k]], axis=0)
+            shifted = jnp.where((m == k)[None, None, :], sh_k, shifted)
         # inversionless update: sigma <- b*sigma - d*(x^m B)
-        upd = (mul_dig(jnp.broadcast_to(bdig[:, None], sigma.shape), sigma)
-               - mul_dig(jnp.broadcast_to(d[:, None], shifted.shape),
-                         shifted)) % 3
-        sigma_new = jnp.where(dz[:, None, None], sigma, upd)
+        upd = (m3(bdig, sigma) - m3(d, shifted)) % 3
+        sigma_new = jnp.where(dz[None, None, :], sigma, upd)
 
-        grow = (~dz) & (2 * L <= n)
-        Bp = jnp.where(grow[:, None, None], sigma, Bp)
-        bdig = jnp.where(grow[:, None], d, bdig)
-        L = jnp.where(grow, n + 1 - L, L)
-        m = jnp.where(grow, 1, m + 1)
+        grow = ((~dz) & (2 * L <= n))[None, None, :]
+        Bp = jnp.where(grow, sigma, Bp)
+        bdig = jnp.where(grow, d, bdig)
+        L = jnp.where(grow[0, 0], n + 1 - L, L)
+        m = jnp.where(grow[0, 0], 1, m + 1)
         sigma = sigma_new
-    return sigma, L
+
+    return sigma.transpose(2, 0, 1), L                     # (B, smax, 3)
 
 
 def decode(recv, k: int):

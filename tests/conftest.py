@@ -21,3 +21,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# Cache compiled executables across test runs (the unrolled RS decoder is
+# ~10 s of XLA:CPU compile per (batch, k) shape; the suite hits dozens).
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/root/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
