@@ -251,13 +251,30 @@ def decode(recv, k: int):
     root = jnp.sum(ev, axis=-1) == 0                        # (B, 26)
     nroots = jnp.sum(root, axis=-1)
 
-    # Omega = S(x) sigma(x) mod x^r  (variable x variable conv, r<=8 terms)
-    Om = jnp.zeros((B_, r, 3), dtype=jnp.int8)
+    # Omega = S(x) sigma(x) mod x^r  (variable x variable conv, r<=8 terms).
+    # Computed in (coeff, digit, B) layout so each window product is a
+    # full-lane (cnt, 3, B) op, then one stack + transpose back.
+    S3d = S_dig.transpose(1, 2, 0)                          # (r, 3, B)
+    sig3d = sigma.transpose(1, 2, 0)                        # (smax, 3, B)
+
+    def _m3(a, b):
+        a0, a1, a2 = a[..., 0, :], a[..., 1, :], a[..., 2, :]
+        b0, b1, b2 = b[..., 0, :], b[..., 1, :], b[..., 2, :]
+        r0 = a0 * b0
+        r1 = a0 * b1 + a1 * b0
+        r2 = a0 * b2 + a1 * b1 + a2 * b0
+        r3 = a1 * b2 + a2 * b1
+        r4 = a2 * b2
+        return jnp.stack([(r0 + 2 * r3) % 3, (r1 + r3 + 2 * r4) % 3,
+                          (r2 + r4) % 3], axis=-2)
+
+    om_rows = []
     for j in range(r):
-        acc = jnp.zeros((B_, 3), dtype=jnp.int8)
-        for i in range(max(0, j - smax + 1), j + 1):
-            acc = add_dig(acc, mul_dig(S_dig[:, i], sigma[:, j - i]))
-        Om = Om.at[:, j].set(acc)
+        i0 = max(0, j - smax + 1)
+        terms = _m3(S3d[i0:j + 1], sig3d[j - i0::-1][:j + 1 - i0])
+        om_rows.append((jnp.sum(terms, axis=0, dtype=jnp.int32) % 3
+                        ).astype(jnp.int8))
+    Om = jnp.stack(om_rows, axis=0).transpose(2, 0, 1)      # (B, r, 3)
 
     num = mod3_matmul(Om.reshape(B_, 3 * r), M["OM3"],
                       out_dtype=jnp.int8).reshape(B_, N, 3)
