@@ -388,9 +388,13 @@ def _decode_body_fn(layout: DecodeLayout):
         sy = jnp.stack(datas, axis=1).reshape(-1)[:layout.L_out]
         if hdr.profile == ProfileID.P5_RS26_22_2D and hdr.tile.w and hdr.tile.h:
             sy = interleave.deinterleave(sy, hdr.tile.w, hdr.tile.h)
-        # syms -> trits -> RAW words (26 trits/word + forced zero 27th trit)
-        s = sy.astype(jnp.int8)
-        t = jnp.stack([s % 3, (s // 3) % 3, (s // 9) % 3], axis=-1).reshape(-1)
+        # syms -> trits -> RAW words (26 trits/word + forced zero 27th trit);
+        # digit split in f32 (integer mod/div are slow on the VPU)
+        s = sy.astype(jnp.float32)
+        q1 = jnp.floor(s * (1.0 / 3.0))
+        q2 = jnp.floor(s * (1.0 / 9.0))
+        t = jnp.stack([s - 3.0 * q1, q1 - 3.0 * q2, q2],
+                      axis=-1).astype(jnp.int8).reshape(-1)
         t = t[:layout.n_out_words * 26].reshape(layout.n_out_words, 26)
         t = jnp.concatenate(
             [t, jnp.zeros((layout.n_out_words, 1), dtype=t.dtype)], axis=-1)

@@ -32,8 +32,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import gf27
-from .gf27 import (add_dig, dig_to_sym, inv_dig, inv_dig_onehot,
-                   mod3_matmul, mul_dig,
+from .gf27 import (_m3i, add_dig, dig_to_sym, fmod3, inv_dig,
+                   inv_dig_onehot, mod3_matmul, mul_dig,
                    np_alpha_pow, np_gf_mul, np_gf_neg, np_gf_solve,
                    np_poly_mod, sym_to_dig)
 
@@ -183,8 +183,8 @@ def _berlekamp_massey(S_dig, r: int, smax: int):
         r2 = a0 * b2 + a1 * b1 + a2 * b0
         r3 = a1 * b2 + a2 * b1
         r4 = a2 * b2
-        return jnp.stack([(r0 + 2 * r3) % 3, (r1 + r3 + 2 * r4) % 3,
-                          (r2 + r4) % 3], axis=-2)
+        return jnp.stack([_m3i(r0 + 2 * r3), _m3i(r1 + r3 + 2 * r4),
+                          _m3i(r2 + r4)], axis=-2)
 
     sigma = jnp.zeros((smax, 3, B_), dtype=jnp.int8).at[0, 0].set(1)
     Bp = sigma
@@ -198,8 +198,8 @@ def _berlekamp_massey(S_dig, r: int, smax: int):
         cnt = min(n, smax - 1) + 1
         Swin = S3d[n::-1][:cnt]                            # S_n, S_{n-1}, ...
         terms = m3(sigma[:cnt], Swin)                      # (cnt, 3, B)
-        d = (jnp.sum(terms, axis=0, dtype=jnp.int32) % 3
-             ).astype(jnp.int8)[None]                      # (1, 3, B)
+        d = fmod3(jnp.sum(terms, axis=0, dtype=jnp.int32)
+                  .astype(jnp.float32)).astype(jnp.int8)[None]  # (1, 3, B)
 
         dz = jnp.sum(d[0], axis=0) == 0                    # (B,) bool
         # x^m * B with per-block m in {1..n+1}: select over static shifts
@@ -210,7 +210,7 @@ def _berlekamp_massey(S_dig, r: int, smax: int):
                 [jnp.zeros((k, 3, B_), dtype=jnp.int8), Bp[:smax - k]], axis=0)
             shifted = jnp.where((m == k)[None, None, :], sh_k, shifted)
         # inversionless update: sigma <- b*sigma - d*(x^m B)
-        upd = (m3(bdig, sigma) - m3(d, shifted)) % 3
+        upd = _m3i(m3(bdig, sigma) - m3(d, shifted))
         sigma_new = jnp.where(dz[None, None, :], sigma, upd)
 
         grow = ((~dz) & (2 * L <= n))[None, None, :]
@@ -265,15 +265,15 @@ def decode(recv, k: int):
         r2 = a0 * b2 + a1 * b1 + a2 * b0
         r3 = a1 * b2 + a2 * b1
         r4 = a2 * b2
-        return jnp.stack([(r0 + 2 * r3) % 3, (r1 + r3 + 2 * r4) % 3,
-                          (r2 + r4) % 3], axis=-2)
+        return jnp.stack([_m3i(r0 + 2 * r3), _m3i(r1 + r3 + 2 * r4),
+                          _m3i(r2 + r4)], axis=-2)
 
     om_rows = []
     for j in range(r):
         i0 = max(0, j - smax + 1)
         terms = _m3(S3d[i0:j + 1], sig3d[j - i0::-1][:j + 1 - i0])
-        om_rows.append((jnp.sum(terms, axis=0, dtype=jnp.int32) % 3
-                        ).astype(jnp.int8))
+        om_rows.append(fmod3(jnp.sum(terms, axis=0, dtype=jnp.int32)
+                             .astype(jnp.float32)).astype(jnp.int8))
     Om = jnp.stack(om_rows, axis=0).transpose(2, 0, 1)      # (B, r, 3)
 
     num = mod3_matmul(Om.reshape(B_, 3 * r), M["OM3"],
@@ -281,9 +281,9 @@ def decode(recv, k: int):
     den = mod3_matmul(sigma.reshape(B_, 3 * smax), M["SP3"],
                       out_dtype=jnp.int8).reshape(B_, N, 3)
     # error value Y at root position: Y = -Omega(X)/sigma'(X); corrected = recv - Y
-    Y = (-mul_dig(num, inv_dig_onehot(den))) % 3
-    corr = jnp.where(root[..., None], (-Y) % 3, 0)
-    fixed_dig = (recv_dig + corr) % 3                        # (B, 26, 3)
+    Y = _m3i(-mul_dig(num, inv_dig_onehot(den)))
+    corr = jnp.where(root[..., None], _m3i(-Y), 0)
+    fixed_dig = _m3i(recv_dig + corr)                        # (B, 26, 3)
 
     # robust failure detection: recompute syndromes of the corrected word
     S2 = mod3_matmul(fixed_dig.reshape(B_, 3 * N), M["S3"], out_dtype=jnp.int8)

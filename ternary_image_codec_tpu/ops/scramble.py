@@ -24,19 +24,28 @@ import jax.numpy as jnp
 
 
 def offsets(n, a, b, s0, dtype=jnp.int8):
-    """Offset sequence st_1..st_n as a device array.  a,b,s0 may be traced."""
-    a = jnp.asarray(a, dtype=jnp.int32) % 3
-    b = jnp.asarray(b, dtype=jnp.int32) % 3
-    s0 = jnp.asarray(s0, dtype=jnp.int32) % 3
-    t = jnp.arange(1, n + 1, dtype=jnp.int32)
-    # a == 1
-    st1 = (s0 + t * b) % 3
-    # a == 2: a^t = 2 if t odd else 1
-    apow = jnp.where(t % 2 == 1, 2, 1)
-    st2 = (apow * s0 + b * (apow + 2)) % 3
-    # a == 0: st = b for all t >= 1
-    st0 = jnp.broadcast_to(b, t.shape)
-    return jnp.where(a == 0, st0, jnp.where(a == 1, st1, st2)).astype(dtype)
+    """Offset sequence st_1..st_n as a device array.  a,b,s0 may be traced.
+
+    The affine mod-3 recurrence is periodic with period <= 6 (lcm of the
+    a==1 period 3 and a==2 period 2), so the whole sequence is one tiled
+    6-element pattern -- no arithmetic over a length-n iota at all (integer
+    mod over a large iota was a measured VPU pathology).
+    """
+    from ..ops.gf27 import fmod3
+    a = jnp.asarray(a, dtype=jnp.float32)
+    b = jnp.asarray(b, dtype=jnp.float32)
+    s0 = jnp.asarray(s0, dtype=jnp.float32)
+    a, b, s0 = fmod3(a), fmod3(b), fmod3(s0)
+    t = jnp.arange(1, 7, dtype=jnp.float32)          # one period
+    st1 = fmod3(s0 + t * b)                          # a == 1
+    tm2 = t - 2.0 * jnp.floor(t * 0.5)               # t mod 2
+    apow = jnp.where(tm2 == 1.0, 2.0, 1.0)           # a^t for a == 2
+    st2 = fmod3(apow * s0 + b * (apow + 2))          # a == 2
+    st0 = jnp.broadcast_to(b, t.shape)               # a == 0
+    pat = jnp.where(a == 0, st0,
+                    jnp.where(a == 1, st1, st2)).astype(dtype)
+    reps = -(-n // 6)
+    return jnp.tile(pat, reps)[:n]
 
 
 def np_offsets(n: int, a: int, b: int, s0: int) -> np.ndarray:
@@ -49,25 +58,28 @@ def np_offsets(n: int, a: int, b: int, s0: int) -> np.ndarray:
     return out
 
 
+def _apply(syms, a, b, s0, sign: float):
+    """Add/subtract the offset to each trit digit, all in float32 (integer
+    mod/div are ~60x slower on the VPU; values <= 26 are f32-exact)."""
+    from ..ops.gf27 import fmod3
+    syms = jnp.asarray(syms)
+    off = offsets(syms.shape[-1], a, b, s0, dtype=jnp.float32) * sign
+    s = syms.astype(jnp.float32)
+    q1 = jnp.floor(s * (1.0 / 3.0))
+    q2 = jnp.floor(s * (1.0 / 9.0))
+    d0 = fmod3((s - 3.0 * q1) + off + 3.0)
+    d1 = fmod3((q1 - 3.0 * q2) + off + 3.0)
+    d2 = fmod3(fmod3(q2) + off + 3.0)
+    return (d0 + 3.0 * d1 + 9.0 * d2).astype(jnp.int8)
+
+
 def scramble(syms, a, b, s0):
     """Scramble a flat symbol stream: s_t += 13*st_t in digit space."""
-    syms = jnp.asarray(syms)
-    off = offsets(syms.shape[-1], a, b, s0, dtype=jnp.int8)
-    s = syms.astype(jnp.int8)
-    d0 = (s % 3 + off) % 3
-    d1 = ((s // 3) % 3 + off) % 3
-    d2 = ((s // 9) % 3 + off) % 3
-    return (d0 + 3 * d1 + 9 * d2).astype(jnp.int8)
+    return _apply(syms, a, b, s0, 1.0)
 
 
 def descramble(syms, a, b, s0):
-    syms = jnp.asarray(syms)
-    off = offsets(syms.shape[-1], a, b, s0, dtype=jnp.int8)
-    s = syms.astype(jnp.int8)
-    d0 = (s % 3 - off) % 3
-    d1 = ((s // 3) % 3 - off) % 3
-    d2 = ((s // 9) % 3 - off) % 3
-    return (d0 + 3 * d1 + 9 * d2).astype(jnp.int8)
+    return _apply(syms, a, b, s0, -1.0)
 
 
 def scramble_masked(syms, a, b, s0, keep_mask):

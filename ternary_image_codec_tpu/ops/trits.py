@@ -24,14 +24,28 @@ POW3 = np.power(3, np.arange(28, dtype=np.int64))  # 3^0 .. 3^27 (int64-exact)
 # symbol <-> trit digits (little-endian base-3, LSD first)
 # ---------------------------------------------------------------------------
 
+def _fdivmod(x, d: float):
+    """Exact floor-divmod of non-negative f32 integers by d via reciprocal
+    multiply + one correction step (integer // and % are ~60x slower on the
+    TPU VPU; the f32 product error is < 1, so one +-1 fix makes it exact)."""
+    q = jnp.floor(x * jnp.float32(1.0 / d))
+    r = x - d * q
+    up = (r >= d).astype(jnp.float32)     # q one too small
+    q = q + up
+    r = r - d * up
+    dn = (r < 0).astype(jnp.float32)      # q one too large
+    q = q - dn
+    r = r + d * dn
+    return q, r
+
+
 def sym_to_trits(sym, n: int = 3):
     """Unpack integers into n base-3 digits (LSD first) along a new last axis."""
-    sym = jnp.asarray(sym)
+    v = jnp.asarray(sym).astype(jnp.float32)
     out = []
-    v = sym.astype(jnp.int32)
     for _ in range(n):
-        out.append(v % 3)
-        v = v // 3
+        v, r = _fdivmod(v, 3.0)
+        out.append(r)
     return jnp.stack(out, axis=-1).astype(jnp.int8)
 
 
