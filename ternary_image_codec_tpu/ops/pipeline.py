@@ -226,63 +226,70 @@ def _encode_fn(layout: EncodeLayout):
     needs = [geom.blocks[b] * geom.ks[b] for b in range(NUM_BANDS)]
     max_need = max(needs) if needs else 0
 
+    bsym_dig = np.asarray([geom.beacon_sym % 3, (geom.beacon_sym // 3) % 3,
+                           (geom.beacon_sym // 9) % 3], dtype=np.int8)
+
     def fn(raw_words):
-        # 1) words -> 26 useful trits each -> symbol stream (pad tail with 0)
+        # Digit-native flow: the 26 useful trits of each word ARE the digit
+        # planes of the GF27 symbol stream -- symbols are never packed until
+        # the final wire words.  (Every pack/unpack was a full HBM pass.)
+        # 1) words -> trits -> (n_sy, 3) symbol digits (pad tail with 0)
         t = subword.words_to_trits(raw_words)[..., :26].reshape(-1)
         pad = 3 * n_sy - t.shape[0]
         if pad:
             t = jnp.pad(t, (0, pad))
-        sy = t.reshape(n_sy, 3).astype(jnp.int8)
-        sy = (sy[:, 0] + 3 * sy[:, 1] + 9 * sy[:, 2])  # <= 26, int8-safe
-        # 2) optional 2D interleave (P5)
+        dig = t.reshape(n_sy, 3)
+        # 2) optional 2D interleave (P5) -- permutes symbol positions
         if cfg.profile == ProfileID.P5_RS26_22_2D and cfg.tile.w and cfg.tile.h:
-            sy = jnp.pad(sy, (0, L_out - n_sy))
-            sy = interleave.interleave(sy, cfg.tile.w, cfg.tile.h)
-            sy = jnp.pad(sy, (0, NUM_BANDS * max_need - L_out))
+            dig = jnp.pad(dig, ((0, L_out - n_sy), (0, 0)))
+            dig = interleave.interleave(dig.T, cfg.tile.w, cfg.tile.h).T
+            dig = jnp.pad(dig, ((0, NUM_BANDS * max_need - L_out), (0, 0)))
         else:
-            sy = jnp.pad(sy, (0, NUM_BANDS * max_need - n_sy))
-        # 3) round-robin band split = one reshape (no index constants):
-        #    cols[:, b] = sy[b::9]
-        cols = sy.reshape(max_need, NUM_BANDS)
-        # per-band RS encode, one matmul per distinct k
+            dig = jnp.pad(dig, ((0, NUM_BANDS * max_need - n_sy), (0, 0)))
+        # 3) round-robin band split = one reshape: cols[:, b] = dig[b::9]
+        cols = dig.reshape(max_need, NUM_BANDS, 3)
+        # per-band RS encode (digit-native), one matmul per distinct k
         enc = _grouped_rs(
-            [(b, cols[:needs[b], b].reshape(geom.blocks[b], geom.ks[b]),
+            [(b, cols[:needs[b], b].reshape(geom.blocks[b], geom.ks[b], 3),
               geom.ks[b]) for b in range(NUM_BANDS) if geom.blocks[b]],
-            rs.encode)
+            rs.encode_dig)
         # 4) build the body grid column by column (beacon via closed form)
         out_cols = []
         for b in range(NUM_BANDS):
-            stream = (enc[b].reshape(-1) if geom.blocks[b]
-                      else jnp.zeros(0, dtype=jnp.int8))
-            stream = jnp.pad(stream, (0, geom.usable[b] - stream.shape[0]))
+            stream = (enc[b].reshape(-1, 3) if geom.blocks[b]
+                      else jnp.zeros((0, 3), dtype=jnp.int8))
+            stream = jnp.pad(
+                stream, ((0, geom.usable[b] - stream.shape[0]), (0, 0)))
             if beacon.enabled and b == beacon.band_slot:
                 if beacon.words_period == 1:
-                    col = jnp.full(geom.H, geom.beacon_sym, dtype=jnp.int8)
+                    col = jnp.broadcast_to(jnp.asarray(bsym_dig),
+                                           (geom.H, 3))
                 else:
                     r = jnp.arange(geom.H, dtype=jnp.int32)
                     is_b = r % beacon.words_period == 0
                     payload_idx = jnp.clip(
                         r - r // beacon.words_period - 1, 0,
                         max(geom.usable[b] - 1, 0))
-                    col = jnp.where(is_b, jnp.int8(geom.beacon_sym),
+                    col = jnp.where(is_b[:, None], jnp.asarray(bsym_dig),
                                     stream[payload_idx])
             else:
                 col = stream  # usable == H
             out_cols.append(col)
-        grid = jnp.stack(out_cols, axis=1)
-        # 5) scramble payload cells; state advances over every cell.  The
-        #    keep-mask is computed from iota (never a host constant).
-        flat = grid.reshape(-1)
+        grid = jnp.stack(out_cols, axis=1)          # (H, 9, 3)
+        # 5) scramble payload cells (digit add); state advances every cell.
+        flat = grid.reshape(-1, 3)
+        keep = None
         if beacon.enabled:
             r = jnp.arange(geom.H, dtype=jnp.int32)
             keep_rows = ~(r % max(beacon.words_period, 1) == 0)
             col_hot = jnp.arange(NUM_BANDS) == beacon.band_slot
-            keep = ~((~keep_rows)[:, None] & col_hot[None, :])
-            flat = scramble.scramble_masked(flat, cfg.seed.a, cfg.seed.b,
-                                            cfg.seed.s0, keep.reshape(-1))
-        else:
-            flat = scramble.scramble(flat, cfg.seed.a, cfg.seed.b, cfg.seed.s0)
-        body = flat.reshape(geom.H, NUM_BANDS)
+            keep = (~((~keep_rows)[:, None] & col_hot[None, :])).reshape(-1)
+        flat = scramble.scramble_dig(flat, cfg.seed.a, cfg.seed.b,
+                                     cfg.seed.s0, 1.0, keep)
+        # 6) pack to wire symbols ONCE
+        f = flat.astype(jnp.int8)
+        body = (f[:, 0] + 3 * f[:, 1] + 9 * f[:, 2]).reshape(geom.H,
+                                                             NUM_BANDS)
         return jnp.concatenate(
             [jnp.asarray(layout.header_words, dtype=jnp.int8), body], axis=0)
 
@@ -358,9 +365,15 @@ def _decode_body_fn(layout: DecodeLayout):
     max_d = max(dlens) if dlens else 0
 
     def fn(body_words):
-        flat = body_words.reshape(-1)
-        flat = scramble.descramble(flat, hdr.seed.a, hdr.seed.b, hdr.seed.s0)
-        grid = flat.reshape(geom.H, NUM_BANDS)
+        # unpack wire symbols to digit planes ONCE; everything below is
+        # digit-native (no further pack/unpack passes)
+        s = body_words.reshape(-1).astype(jnp.float32)
+        q1 = jnp.floor(s * (1.0 / 3.0))
+        q2 = jnp.floor(s * (1.0 / 9.0))
+        dig = jnp.stack([s - 3.0 * q1, q1 - 3.0 * q2, q2], axis=-1)
+        dig = scramble.scramble_dig(dig, hdr.seed.a, hdr.seed.b,
+                                    hdr.seed.s0, -1.0)
+        grid = dig.reshape(geom.H, NUM_BANDS, 3)
         # per-band payload columns; beacon rows skipped via closed form
         items, oks = [], []
         for b in range(NUM_BANDS):
@@ -372,30 +385,25 @@ def _decode_body_fn(layout: DecodeLayout):
                 rows = _beacon_payload_rows(geom.usable[b],
                                             beacon.words_period)
                 col = col[rows]
-            items.append((b, col[:nblk * rs.N].reshape(nblk, rs.N), k))
-        dec = _grouped_rs(items, rs.decode)
+            items.append((b, col[:nblk * rs.N].reshape(nblk, rs.N, 3), k))
+        dec = _grouped_rs(items, rs.decode_dig)
         datas = []
         for b in range(NUM_BANDS):
             if geom.blocks[b] == 0:
-                datas.append(jnp.zeros(max_d, dtype=jnp.int8))
+                datas.append(jnp.zeros((max_d, 3), dtype=jnp.int8))
                 continue
             d, ok = dec[b]
-            datas.append(jnp.pad(d.reshape(-1), (0, max_d - dlens[b])))
+            datas.append(jnp.pad(d.reshape(-1, 3),
+                                 ((0, max_d - dlens[b]), (0, 0))))
             oks.append(ok)
         ok_all = jnp.all(jnp.concatenate(oks)) if oks else jnp.asarray(True)
-        # re-round-robin merge = transpose (no index constants):
-        # out[i] = band_data[i % 9][i // 9]
-        sy = jnp.stack(datas, axis=1).reshape(-1)[:layout.L_out]
+        # re-round-robin merge = transpose: out[i] = band_data[i % 9][i // 9]
+        dsy = jnp.stack(datas, axis=1).reshape(-1, 3)[:layout.L_out]
         if hdr.profile == ProfileID.P5_RS26_22_2D and hdr.tile.w and hdr.tile.h:
-            sy = interleave.deinterleave(sy, hdr.tile.w, hdr.tile.h)
-        # syms -> trits -> RAW words (26 trits/word + forced zero 27th trit);
-        # digit split in f32 (integer mod/div are slow on the VPU)
-        s = sy.astype(jnp.float32)
-        q1 = jnp.floor(s * (1.0 / 3.0))
-        q2 = jnp.floor(s * (1.0 / 9.0))
-        t = jnp.stack([s - 3.0 * q1, q1 - 3.0 * q2, q2],
-                      axis=-1).astype(jnp.int8).reshape(-1)
-        t = t[:layout.n_out_words * 26].reshape(layout.n_out_words, 26)
+            dsy = interleave.deinterleave(dsy.T, hdr.tile.w, hdr.tile.h).T
+        # symbol digits ARE the trit stream: regroup 26 trits/word + zero pad
+        t = dsy.reshape(-1)[:layout.n_out_words * 26]
+        t = t.reshape(layout.n_out_words, 26)
         t = jnp.concatenate(
             [t, jnp.zeros((layout.n_out_words, 1), dtype=t.dtype)], axis=-1)
         return subword.trits_to_words(t), ok_all

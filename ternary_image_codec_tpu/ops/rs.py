@@ -117,13 +117,22 @@ def _matrices(k: int):
 # ---------------------------------------------------------------------------
 
 
-def encode(data, k: int):
-    """RS-encode blocks. data (..., k) GF27 symbols -> (..., 26) codewords."""
+def encode_dig(data_dig, k: int):
+    """Digit-native RS encode: (..., k, 3) trit digits -> (..., 26, 3).
+
+    The pipeline works in digit planes end-to-end (symbols are only packed
+    at the wire boundary), so no sym<->digit conversion happens here."""
     M = _matrices(k)
-    d = sym_to_dig(data)                       # (..., k, 3)
+    d = jnp.asarray(data_dig)
     flat = d.reshape(*d.shape[:-2], 3 * k)
     cw = mod3_matmul(flat, M["G3"])            # (..., 78)
-    return dig_to_sym(cw.reshape(*cw.shape[:-1], N, 3)).astype(jnp.int8)
+    return cw.reshape(*cw.shape[:-1], N, 3)
+
+
+def encode(data, k: int):
+    """RS-encode blocks. data (..., k) GF27 symbols -> (..., 26) codewords."""
+    cw = encode_dig(sym_to_dig(data), k)
+    return dig_to_sym(cw).astype(jnp.int8)
 
 
 def np_encode(data: np.ndarray, k: int) -> np.ndarray:
@@ -223,22 +232,22 @@ def _berlekamp_massey(S_dig, r: int, smax: int):
     return sigma.transpose(2, 0, 1), L                     # (B, smax, 3)
 
 
-def decode(recv, k: int):
-    """Decode blocks.
+def decode_dig(recv_dig, k: int):
+    """Digit-native decode.
 
-    recv: (B, 26) GF27 symbols.
-    Returns (data (B, k) int8, ok (B,) bool).  `ok` is False when the error
-    pattern is uncorrectable (instead of the reference's early `return false`,
-    old/include/ternary_image_codec_v6_min.hpp:624,656 -- batched execution
-    returns per-block status flags, SURVEY.md section 5 "failure detection").
+    recv_dig: (B, 26, 3) trit digits of the received codewords.
+    Returns (data_dig (B, k, 3), ok (B,) bool).  `ok` is False when the
+    error pattern is uncorrectable (instead of the reference's early
+    `return false`, old/include/ternary_image_codec_v6_min.hpp:624,656 --
+    batched execution returns per-block status flags, SURVEY.md section 5
+    "failure detection").
     """
     M = _matrices(k)
     r, smax = M["r"], M["smax"]
     t = r // 2
-    recv = jnp.asarray(recv)
-    B_ = recv.shape[0]
+    recv_dig = jnp.asarray(recv_dig)
+    B_ = recv_dig.shape[0]
 
-    recv_dig = sym_to_dig(recv)                              # (B, 26, 3)
     S_dig = mod3_matmul(recv_dig.reshape(B_, 3 * N), M["S3"],
                         out_dtype=jnp.int8).reshape(B_, r, 3)
     synd_zero = jnp.all(S_dig.reshape(B_, 3 * r) == 0, axis=-1)
@@ -291,8 +300,13 @@ def decode(recv, k: int):
     ok = ok | synd_zero
 
     fixed = jnp.where(synd_zero[:, None, None], recv_dig, fixed_dig)
-    data = dig_to_sym(fixed[:, :k]).astype(jnp.int8)
-    return data, ok
+    return fixed[:, :k], ok
+
+
+def decode(recv, k: int):
+    """Decode blocks.  recv: (B, 26) GF27 symbols -> (data (B, k) int8, ok)."""
+    data_dig, ok = decode_dig(sym_to_dig(recv), k)
+    return dig_to_sym(data_dig).astype(jnp.int8), ok
 
 
 # convenience jitted single-profile entry points -----------------------------

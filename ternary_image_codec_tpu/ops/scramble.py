@@ -82,6 +82,19 @@ def descramble(syms, a, b, s0):
     return _apply(syms, a, b, s0, -1.0)
 
 
+def scramble_dig(digits, a, b, s0, sign: float = 1.0, keep_mask=None):
+    """Digit-native (de)scramble: digits (n, 3) trit planes; the offset adds
+    to every digit of symbol t.  One fused f32 pass — the digit planes never
+    get packed/unpacked here (pipeline works digit-native end to end)."""
+    from ..ops.gf27 import fmod3
+    d = jnp.asarray(digits).astype(jnp.float32)
+    off = offsets(d.shape[0], a, b, s0, dtype=jnp.float32) * sign
+    out = fmod3(d + off[:, None] + 3.0).astype(jnp.int8)
+    if keep_mask is not None:
+        out = jnp.where(keep_mask[:, None], out, jnp.asarray(digits).astype(jnp.int8))
+    return out
+
+
 def scramble_masked(syms, a, b, s0, keep_mask):
     """Scramble only where keep_mask is True; state STILL advances on every
     symbol (so the decoder's uniform row-major descramble stays aligned --
