@@ -217,3 +217,18 @@ class TestMainBare:
         assert len(frames) == 1 and frames[0].shape == (5, 9)  # 10 px, 2/word
         tr = LC.t3p1_read(str(tmp_path / "demo_s21.t3p"))
         assert tr.size == 5 * 21
+
+
+class TestMinitestT3Containers:
+    def test_report_small_modes(self, tmp_path, capsys):
+        from ternary_image_codec_tpu.cli import minitest_t3containers as MT
+        rc = MT.main(["--modes", "S15", "--outdir", str(tmp_path)])
+        rep = json.loads(capsys.readouterr().out)["t3containers"]
+        assert rc == 0 and rep["final_status"] == "PASS"
+        (case,) = rep["t3p"]
+        assert case["mode"] == "S15" and case["equal"]
+        assert len(case["crc12_raw"]) == 3  # 3-hex-digit CRC-12 signature
+        assert rep["t3v"]["frames"] == 3 and rep["t3v"]["fps_r"] == 25.0
+        # artifacts really exist on disk (write/read went through T3P6/T3V6)
+        assert (tmp_path / "test_S15.t3p").exists()
+        assert (tmp_path / "test_S21.t3v").exists()
