@@ -28,6 +28,7 @@ import functools
 
 import numpy as np
 import jax.numpy as jnp
+from jax import lax
 
 # ---------------------------------------------------------------------------
 # numpy oracle
@@ -318,7 +319,15 @@ def mod3_matmul(x, M, out_dtype=jnp.int8):
     and the operands stay 1 byte/element in HBM.  The final mod goes through
     float (integer remainder is pathologically slow on the VPU); sums are
     <= 2*2*n << 2^23, so the float path is exact.
+
+    The optimization_barrier on x is load-bearing: without it XLA fuses the
+    producer chain (digit unpack / descramble / band slicing) into the dot's
+    operand generation and re-materializes it per MXU tile -- measured +130
+    ms per 8K frame on the streamed decode syndromes alone.  The barrier
+    forces the operand to be written once, and the dot reads it back at
+    full HBM bandwidth.
     """
-    y = jnp.matmul(x.astype(jnp.int8), jnp.asarray(M, dtype=jnp.int8),
+    x = lax.optimization_barrier(x.astype(jnp.int8))
+    y = jnp.matmul(x, jnp.asarray(M, dtype=jnp.int8),
                    preferred_element_type=jnp.int32)
     return fmod3(y.astype(jnp.float32)).astype(out_dtype)

@@ -358,13 +358,29 @@ def decode_header_from_words(words) -> Tuple[Optional[SuperframeHeader], bool]:
 
 
 @functools.cache
-def _decode_body_fn(layout: DecodeLayout):
+def _decode_parts(layout: DecodeLayout):
+    """Split body decode into (pre, post, meta) so the RS stage can run at
+    a coarser batch level than one superframe (see _stream_fns):
+
+      pre(body_words (H, 9))  -> tuple of per-band RS block arrays
+                                 (nblk_b, 26, 3), one per *active* band;
+      meta                     = tuple of (band, nblk, k) aligned with pre's
+                                 outputs (static per layout);
+      post(decoded)            -> out words (n_out_words, 9), where decoded
+                                 is a tuple of (nblk, k, 3) aligned with meta.
+
+    Both pre and post are vmap-safe; the RS decode between them is NOT part
+    of either, so callers choose decode_dig (under vmap) or decode_dig_cond
+    (micro-batch fast path).
+    """
     hdr, geom = layout.hdr, layout.geom
     beacon = hdr.beacon
     dlens = [geom.blocks[b] * geom.ks[b] for b in range(NUM_BANDS)]
     max_d = max(dlens) if dlens else 0
+    meta = tuple((b, geom.blocks[b], geom.ks[b])
+                 for b in range(NUM_BANDS) if geom.blocks[b])
 
-    def fn(body_words):
+    def pre(body_words):
         # unpack wire symbols to digit planes ONCE; everything below is
         # digit-native (no further pack/unpack passes)
         s = body_words.reshape(-1).astype(jnp.float32)
@@ -375,28 +391,26 @@ def _decode_body_fn(layout: DecodeLayout):
                                     hdr.seed.s0, -1.0)
         grid = dig.reshape(geom.H, NUM_BANDS, 3)
         # per-band payload columns; beacon rows skipped via closed form
-        items, oks = [], []
-        for b in range(NUM_BANDS):
-            nblk, k = geom.blocks[b], geom.ks[b]
-            if nblk == 0:
-                continue
+        outs = []
+        for b, nblk, _k in meta:
             col = grid[:, b]
             if beacon.enabled and b == beacon.band_slot:
                 rows = _beacon_payload_rows(geom.usable[b],
                                             beacon.words_period)
                 col = col[rows]
-            items.append((b, col[:nblk * rs.N].reshape(nblk, rs.N, 3), k))
-        dec = _grouped_rs(items, rs.decode_dig)
-        datas = []
+            outs.append(col[:nblk * rs.N].reshape(nblk, rs.N, 3))
+        return tuple(outs)
+
+    def post(decoded):
+        datas, i = [], 0
         for b in range(NUM_BANDS):
             if geom.blocks[b] == 0:
                 datas.append(jnp.zeros((max_d, 3), dtype=jnp.int8))
                 continue
-            d, ok = dec[b]
+            d = decoded[i]
+            i += 1
             datas.append(jnp.pad(d.reshape(-1, 3),
                                  ((0, max_d - dlens[b]), (0, 0))))
-            oks.append(ok)
-        ok_all = jnp.all(jnp.concatenate(oks)) if oks else jnp.asarray(True)
         # re-round-robin merge = transpose: out[i] = band_data[i % 9][i // 9]
         dsy = jnp.stack(datas, axis=1).reshape(-1, 3)[:layout.L_out]
         if hdr.profile == ProfileID.P5_RS26_22_2D and hdr.tile.w and hdr.tile.h:
@@ -406,7 +420,25 @@ def _decode_body_fn(layout: DecodeLayout):
         t = t.reshape(layout.n_out_words, 26)
         t = jnp.concatenate(
             [t, jnp.zeros((layout.n_out_words, 1), dtype=t.dtype)], axis=-1)
-        return subword.trits_to_words(t), ok_all
+        return subword.trits_to_words(t)
+
+    return pre, post, meta
+
+
+@functools.cache
+def _decode_body_fn(layout: DecodeLayout):
+    """Single-superframe body decode (vmap-safe: uses plain decode_dig)."""
+    pre, post, meta = _decode_parts(layout)
+
+    def fn(body_words):
+        blocks = pre(body_words)
+        dec = _grouped_rs(
+            [(i, blk, meta[i][2]) for i, blk in enumerate(blocks)],
+            rs.decode_dig)
+        decoded = tuple(dec[i][0] for i in range(len(meta)))
+        oks = [dec[i][1] for i in range(len(meta))]
+        ok_all = jnp.all(jnp.concatenate(oks)) if oks else jnp.asarray(True)
+        return post(decoded), ok_all
 
     return jax.jit(fn)
 
@@ -430,7 +462,39 @@ def _stream_fns(cfg: EncoderConfig, sf_batch: int):
         beacon=cfg.beacon, subword=cfg.subword, centered=cfg.centered,
         coset=cfg.coset)
     dlayout = build_decode_layout(sf_hdr, layout.total_words - HEADER_WORDS)
-    dec_one = _decode_body_fn(dlayout)
+    pre, post, meta = _decode_parts(dlayout)
+
+    def dec_micro(batch_body):
+        """Decode one micro-batch of superframes (sfb, H, 9).
+
+        The RS stage runs OUTSIDE the per-superframe vmap, over all blocks
+        of the micro-batch folded together, so decode_dig_cond's whole-batch
+        zero-syndrome fast path is a real runtime branch (one syndrome
+        matmul, then skip BM/Chien/Forney entirely when the micro-batch is
+        clean -- the overwhelmingly common case on intact streams).
+        """
+        sfb = batch_body.shape[0]
+        blocks = jax.vmap(pre)(batch_body)      # tuple of (sfb, nblk, 26, 3)
+        by_k = {}
+        for i, (_b, _nblk, k) in enumerate(meta):
+            by_k.setdefault(k, []).append(i)
+        decoded = [None] * len(meta)
+        oks = []
+        for k, idxs in by_k.items():
+            cat = jnp.concatenate(
+                [blocks[i].reshape(-1, rs.N, 3) for i in idxs], axis=0)
+            d, ok = rs.decode_dig_cond(cat, k)
+            start = 0
+            for i in idxs:
+                nblk = meta[i][1]
+                n = sfb * nblk
+                decoded[i] = d[start:start + n].reshape(sfb, nblk, k, 3)
+                start += n
+            oks.append(ok)
+        out = jax.vmap(post)(tuple(decoded))
+        ok_all = (jnp.all(jnp.concatenate(oks)) if oks
+                  else jnp.asarray(True))
+        return out, ok_all
 
     def _rebatch(x):
         # pad the superframe axis to a multiple of sf_batch (repeat last)
@@ -451,8 +515,7 @@ def _stream_fns(cfg: EncoderConfig, sf_batch: int):
     @jax.jit
     def dec_stream(words):  # (n_sf, total, 9) -> ((n_sf, out_words, 9), ok)
         n = words.shape[0]
-        raw, ok = lax.map(jax.vmap(dec_one),
-                          _rebatch(words[:, HEADER_WORDS:, :]))
+        raw, ok = lax.map(dec_micro, _rebatch(words[:, HEADER_WORDS:, :]))
         raw = raw.reshape(-1, dlayout.n_out_words, NUM_BANDS)[:n]
         return raw, jnp.all(ok)
 

@@ -232,24 +232,20 @@ def _berlekamp_massey(S_dig, r: int, smax: int):
     return sigma.transpose(2, 0, 1), L                     # (B, smax, 3)
 
 
-def decode_dig(recv_dig, k: int):
-    """Digit-native decode.
+def syndromes_dig(recv_dig, k: int):
+    """(B, 26, 3) received digits -> (B, r, 3) syndrome digits (one matmul)."""
+    M = _matrices(k)
+    B_ = recv_dig.shape[0]
+    return mod3_matmul(recv_dig.reshape(B_, 3 * N), M["S3"],
+                       out_dtype=jnp.int8).reshape(B_, M["r"], 3)
 
-    recv_dig: (B, 26, 3) trit digits of the received codewords.
-    Returns (data_dig (B, k, 3), ok (B,) bool).  `ok` is False when the
-    error pattern is uncorrectable (instead of the reference's early
-    `return false`, old/include/ternary_image_codec_v6_min.hpp:624,656 --
-    batched execution returns per-block status flags, SURVEY.md section 5
-    "failure detection").
-    """
+
+def _correct_dig(recv_dig, S_dig, k: int):
+    """BM + Chien + Forney correction chain given precomputed syndromes."""
     M = _matrices(k)
     r, smax = M["r"], M["smax"]
     t = r // 2
-    recv_dig = jnp.asarray(recv_dig)
     B_ = recv_dig.shape[0]
-
-    S_dig = mod3_matmul(recv_dig.reshape(B_, 3 * N), M["S3"],
-                        out_dtype=jnp.int8).reshape(B_, r, 3)
     synd_zero = jnp.all(S_dig.reshape(B_, 3 * r) == 0, axis=-1)
 
     sigma, L = _berlekamp_massey(S_dig, r, smax)
@@ -301,6 +297,48 @@ def decode_dig(recv_dig, k: int):
 
     fixed = jnp.where(synd_zero[:, None, None], recv_dig, fixed_dig)
     return fixed[:, :k], ok
+
+
+def decode_dig(recv_dig, k: int):
+    """Digit-native decode.
+
+    recv_dig: (B, 26, 3) trit digits of the received codewords.
+    Returns (data_dig (B, k, 3), ok (B,) bool).  `ok` is False when the
+    error pattern is uncorrectable (instead of the reference's early
+    `return false`, old/include/ternary_image_codec_v6_min.hpp:624,656 --
+    batched execution returns per-block status flags, SURVEY.md section 5
+    "failure detection").
+
+    vmap-safe (no lax.cond); for large top-level batches prefer
+    decode_dig_cond, which short-circuits clean batches.
+    """
+    recv_dig = jnp.asarray(recv_dig)
+    return _correct_dig(recv_dig, syndromes_dig(recv_dig, k), k)
+
+
+def decode_dig_cond(recv_dig, k: int):
+    """decode_dig with a whole-batch zero-syndrome fast path.
+
+    Production RS decoders short-circuit clean codewords; here the check is
+    one syndrome matmul and a scalar reduction, and `lax.cond` executes only
+    one branch at runtime: a clean batch skips the entire BM/Chien/Forney
+    chain (the dominant decode cost).  NOT for use under vmap (cond would
+    degrade to a select that runs both branches); the streaming pipeline
+    calls this at the micro-batch level, outside vmap.
+    """
+    recv_dig = jnp.asarray(recv_dig)
+    S_dig = syndromes_dig(recv_dig, k)
+    clean = jnp.all(S_dig == 0)
+
+    def fast(args):
+        rd, _ = args
+        return rd[:, :k], jnp.ones((rd.shape[0],), dtype=bool)
+
+    def slow(args):
+        rd, S = args
+        return _correct_dig(rd, S, k)
+
+    return lax.cond(clean, fast, slow, (recv_dig, S_dig))
 
 
 def decode(recv, k: int):

@@ -179,3 +179,52 @@ class TestSuperframeStreaming:
         out, hdr, ok = pipeline.decode_profile_to_raw(jnp.asarray(prof[1]))
         assert ok and hdr.profile == ProfileID.P1_RS26_24
         assert np.array_equal(np.asarray(out)[:32], raw[32:64])
+
+    def test_stream_corrects_errors_via_slow_branch(self):
+        """Corrupt one symbol in one superframe: the micro-batch containing
+        it must take the full BM/Chien/Forney branch (decode_dig_cond) and
+        still recover exactly; clean micro-batches take the fast path."""
+        from ternary_image_codec_tpu.config import (EncoderConfig, ProfileID,
+                                                    uep_luma_priority)
+        cfg = EncoderConfig(profile=ProfileID.P2_RS26_22,
+                            uep=uep_luma_priority(), superframe_words=64)
+        r = np.random.default_rng(7)
+        n_raw = 64 * 4
+        t = r.integers(0, 3, size=(n_raw, 27)).astype(np.int8)
+        t[:, 26] = 0
+        raw = (t.reshape(n_raw, 9, 3) * np.array([1, 3, 9])).sum(-1).astype(np.int8)
+        prof = np.asarray(pipeline.encode_stream_superframes(raw, cfg,
+                                                             sf_batch=2))
+        # flip one body symbol in superframe 2 (second micro-batch)
+        corr = prof.copy()
+        corr[2, pipeline.HEADER_WORDS + 5, 4] = (
+            corr[2, pipeline.HEADER_WORDS + 5, 4] + 1) % 27
+        out, ok = pipeline.decode_stream_superframes(corr, cfg, n_raw,
+                                                     sf_batch=2)
+        assert bool(ok)
+        assert np.array_equal(np.asarray(out), raw)
+
+    def test_stream_beyond_capacity_never_silently_ok(self):
+        """Beyond-capacity corruption must either clear the ok flag or
+        miscorrect to a *different* valid codeword -- it must never return
+        ok=True with the original data (which would mean the corruption was
+        silently ignored, i.e. the fast path fired on a dirty batch).
+        (Per-frame status semantics, SURVEY.md section 5 failure detection;
+        miscorrection beyond distance is inherent to RS, tests/test_rs.py.)"""
+        from ternary_image_codec_tpu.config import (EncoderConfig, ProfileID,
+                                                    uep_uniform)
+        cfg = EncoderConfig(profile=ProfileID.P1_RS26_24, uep=uep_uniform(0),
+                            superframe_words=32)
+        r = np.random.default_rng(9)
+        n_raw = 64
+        t = r.integers(0, 3, size=(n_raw, 27)).astype(np.int8)
+        t[:, 26] = 0
+        raw = (t.reshape(n_raw, 9, 3) * np.array([1, 3, 9])).sum(-1).astype(np.int8)
+        prof = np.asarray(pipeline.encode_stream_superframes(raw, cfg))
+        corr = prof.copy()
+        # k=24 -> t=1: 2+ errors in one codeword (same band column) overwhelm it
+        for row in range(5):
+            corr[0, pipeline.HEADER_WORDS + row, 2] = (
+                corr[0, pipeline.HEADER_WORDS + row, 2] + 1 + row % 2) % 27
+        out, ok = pipeline.decode_stream_superframes(corr, cfg, n_raw)
+        assert not (bool(ok) and np.array_equal(np.asarray(out), raw))
