@@ -11,12 +11,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: >= 30 fps encode+decode on a single v5e chip (BASELINE.md).
 """
 import json
+import os
 import time
 
 import numpy as np
 
 
 def main():
+    from ternary_image_codec_tpu.runtime import tracing
     import jax
     import jax.numpy as jnp
     from ternary_image_codec_tpu.config import (EncoderConfig, ProfileID,
@@ -62,10 +64,13 @@ def main():
     for v in variants:
         v.block_until_ready()
     t0 = time.perf_counter()
-    for v in variants:
-        _out, _ok, chk = step(v)
-        _ = float(chk)  # host sync on a scalar
+    with tracing.device_trace(os.environ.get("T3_TRACE_DIR")):
+        for v in variants:
+            with tracing.stage_timer("encode_decode_8k"):
+                _out, _ok, chk = step(v)
+                _ = float(chk)  # host sync on a scalar
     dt = (time.perf_counter() - t0) / iters
+    tracing.log_event("bench_stages", **tracing.stage_report())
     fps = 1.0 / dt
 
     print(json.dumps({

@@ -26,6 +26,11 @@ def main(argv=None) -> int:
     ap.add_argument("--frames-dir", default=".")
     ap.add_argument("--mp4", default=None,
                     help="optionally assemble an mp4 from the PNG exports")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume an interrupted encode: keep the complete "
+                         "frames already in out.t3v, re-encode from the "
+                         "first missing one (frame-granularity checkpoint "
+                         "via the container index, SURVEY.md section 5)")
     args = ap.parse_args(argv)
     if len(args.inputs) < 2:
         ap.error("need at least one input image and the output .t3v")
@@ -41,10 +46,24 @@ def main(argv=None) -> int:
                           frame_count=len(inputs))
 
     os.makedirs(args.frames_dir, exist_ok=True)
-    offsets = []
-    with open(out, "wb") as f:
-        f.write(LC._t3v_old_header_bytes(hdr))
-        for fi, path in enumerate(inputs):
+    offsets, start = [], 0
+    if args.resume and os.path.exists(out):
+        prev = LC.t3v_old_read_header(out)
+        if (prev.profile, prev.subword, prev.width, prev.height) != \
+                (hdr.profile, hdr.subword, hdr.width, hdr.height):
+            ap.error(f"--resume: {out} was written with a different config")
+        offsets, good_end = LC.t3v_old_resume_scan(out)
+        start = len(offsets)
+        with open(out, "r+b") as f:
+            f.truncate(good_end)  # drop a partial tail frame, if any
+        print(f"resuming {out}: {start} complete frame(s) kept")
+    mode = "r+b" if start else "wb"
+    with open(out, mode) as f:
+        if start:
+            f.seek(0, os.SEEK_END)
+        else:
+            f.write(LC._t3v_old_header_bytes(hdr))
+        for fi, path in enumerate(inputs[start:], start=start):
             rgb = I.load_image_rgb8(path)
             h, w = rgb.shape[0], rgb.shape[1]
             q = Q.rgb_to_quant(jnp.asarray(rgb)).reshape(-1, 3)
@@ -57,6 +76,7 @@ def main(argv=None) -> int:
             rgb2 = np.asarray(Q.quant_to_rgb(qs)).reshape(h, w, 3)
             I.save_image_png(os.path.join(args.frames_dir,
                                           f"frame_{fi:05d}.png"), rgb2)
+    LC.t3v_old_finalize_header(out, len(inputs))
     LC.t3vi_write(out + ".t3vi", offsets)
 
     if args.mp4:

@@ -287,6 +287,52 @@ def t3v_old_append_frame(path: str, frame) -> None:
         f.write(_t3v_old_frame_bytes(frame))
 
 
+def t3v_old_finalize_header(path: str, frame_count: int) -> None:
+    """Rewrite the in-place header with the final frame_count (+ fresh CRC).
+
+    The reference leaves frame_count 'may be 0 until finalize'
+    (old/include/t3v_io.hpp:55); this is the finalize step, enabling
+    append-then-finalize and resume-after-interrupt workflows
+    (SURVEY.md section 5 checkpoint/resume)."""
+    hdr = t3v_old_read_header(path)
+    new = dataclasses.replace(hdr, frame_count=frame_count)
+    with open(path, "r+b") as f:
+        f.write(_t3v_old_header_bytes(new))
+
+
+def t3v_old_resume_scan(path: str) -> Tuple[List[int], int]:
+    """Scan a (possibly interrupted) T3V1-old file for COMPLETE frames.
+
+    Returns (offsets, resume_pos): byte offsets of every frame whose length
+    and CRC check out, and the position just after the last good frame --
+    the point to truncate to and append from.  Unlike t3v_scan_and_index
+    (old/include/t3v_indexed_io.hpp:70-108), a truncated or corrupt tail
+    frame ends the scan instead of raising: that is exactly the state an
+    interrupted encode job leaves behind."""
+    t3v_old_read_header(path)  # validates magic + crc
+    offsets: List[int] = []
+    with open(path, "rb") as f:
+        f.seek(_T3VOLD_SIZE)
+        good_end = f.tell()
+        while True:
+            pos = f.tell()
+            n_le = f.read(4)
+            if len(n_le) < 4:
+                break
+            (n,) = struct.unpack("<I", n_le)
+            buf = f.read(n * 9)
+            crc_raw = f.read(4)
+            if len(buf) != n * 9 or len(crc_raw) < 4:
+                break
+            (crc_file,) = struct.unpack("<I", crc_raw)
+            crc = _crc32(buf) ^ ((_crc32(n_le) * 16777619) & 0xFFFFFFFF)
+            if crc != crc_file:
+                break
+            offsets.append(pos)
+            good_end = f.tell()
+    return offsets, good_end
+
+
 def t3v_old_read_header(path: str) -> T3VOldHeader:
     """old/include/t3v_io.hpp:120-126."""
     with open(path, "rb") as f:

@@ -232,3 +232,36 @@ class TestMinitestT3Containers:
         # artifacts really exist on disk (write/read went through T3P6/T3V6)
         assert (tmp_path / "test_S15.t3p").exists()
         assert (tmp_path / "test_S21.t3v").exists()
+
+
+class TestMainVideoT3VResume:
+    def test_resume_after_interrupt(self, tmp_path, capsys):
+        """Interrupted encode (partial tail frame) + --resume reproduces the
+        byte-exact container a single uninterrupted run writes (frame-level
+        checkpoint/resume via the container index, SURVEY.md section 5)."""
+        from ternary_image_codec_tpu.cli import main_video_t3v as MV
+        from ternary_image_codec_tpu.io import image as I
+        r = np.random.default_rng(3)
+        pngs = []
+        for i in range(2):
+            p = str(tmp_path / f"in{i}.png")
+            I.save_image_png(
+                p, r.integers(0, 256, size=(16, 16, 3)).astype(np.uint8))
+            pngs.append(p)
+        full = str(tmp_path / "full.t3v")
+        fdir = str(tmp_path / "frames")
+        assert MV.main(pngs + [full, "--frames-dir", fdir]) == 0
+        want = open(full, "rb").read()
+        offs = LC.t3vi_read(full + ".t3vi")
+        assert len(offs) == 2
+
+        # simulate a crash mid-frame-1: header + frame 0 + 7 stray bytes
+        part = str(tmp_path / "part.t3v")
+        open(part, "wb").write(want[:offs[1] + 7])
+        capsys.readouterr()
+        assert MV.main(pngs + [part, "--frames-dir", fdir, "--resume"]) == 0
+        assert "resuming" in capsys.readouterr().out
+        assert open(part, "rb").read() == want
+        assert LC.t3vi_read(part + ".t3vi") == offs
+        hdr, frames = LC.t3v_old_read_frames(part)
+        assert hdr.frame_count == 2 and len(frames) == 2

@@ -162,6 +162,43 @@ class TestT3VOld:
         with pytest.raises(ContainerError):
             LC.t3v_old_read_frames(p)
 
+    def test_resume_scan_truncated_tail(self, tmp_path):
+        """An interrupted write (partial last frame) resumes at the end of
+        the last complete frame; finalize fixes frame_count."""
+        frames = [_ref_lcg_words(40 + i, 11 * (i + 1)) for i in range(3)]
+        p = str(tmp_path / "x.t3v")
+        LC.t3v_old_write(p, self._hdr(), frames)
+        full = open(p, "rb").read()
+        # chop mid-way through frame 2's payload
+        offs, end = LC.t3v_old_resume_scan(p)
+        assert len(offs) == 3 and end == len(full)
+        open(p, "wb").write(full[:offs[2] + 10])
+        offs2, end2 = LC.t3v_old_resume_scan(p)
+        assert offs2 == offs[:2] and end2 == offs[2]
+        # resume: truncate + re-append frame 2, finalize header
+        with open(p, "r+b") as f:
+            f.truncate(end2)
+            f.seek(0, os.SEEK_END)
+            f.write(LC._t3v_old_frame_bytes(frames[2]))
+        LC.t3v_old_finalize_header(p, 3)
+        assert open(p, "rb").read() == full
+        hdr, got = LC.t3v_old_read_frames(p)
+        assert hdr.frame_count == 3
+        assert all(np.array_equal(a, b) for a, b in zip(frames, got))
+
+    def test_resume_scan_corrupt_tail_frame(self, tmp_path):
+        """A corrupt (bad-CRC) last frame is dropped by the resume scan, not
+        raised -- that is the restart-after-crash state."""
+        frames = [_ref_lcg_words(20 + i, 9 * (i + 1)) for i in range(2)]
+        p = str(tmp_path / "x.t3v")
+        LC.t3v_old_write(p, self._hdr(), frames)
+        offs, _ = LC.t3v_old_resume_scan(p)
+        raw = bytearray(open(p, "rb").read())
+        raw[offs[1] + 4 + 2] ^= 1
+        open(p, "wb").write(bytes(raw))
+        offs2, end2 = LC.t3v_old_resume_scan(p)
+        assert offs2 == offs[:1] and end2 == offs[1]
+
 
 class TestT3VI:
     def test_roundtrip(self, tmp_path):
