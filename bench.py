@@ -20,6 +20,9 @@ import numpy as np
 def main():
     from ternary_image_codec_tpu.runtime import tracing
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax
     import jax.numpy as jnp
     from ternary_image_codec_tpu.config import (EncoderConfig, ProfileID,
                                                 uep_luma_priority)
@@ -33,14 +36,16 @@ def main():
     r = np.random.default_rng(0)
     t = r.integers(0, 3, size=(n_raw, 27)).astype(np.int8)
     t[:, 26] = 0
-    raw = jnp.asarray((t.reshape(n_raw, 9, 3) * np.array([1, 3, 9])).sum(-1)
-                      .astype(np.int8))
+    raw_np = (t.reshape(n_raw, 9, 3) * np.array([1, 3, 9])).sum(-1) \
+        .astype(np.int8)
+    raw = jnp.asarray(raw_np)
 
     sf = cfg.superframe_words
     n_sf = -(-n_raw // sf)
     pad = n_sf * sf - n_raw
-    chunks = jnp.concatenate(
-        [raw, jnp.zeros((pad, 9), dtype=raw.dtype)]).reshape(n_sf, sf, 9)
+    chunks_np = np.concatenate(
+        [raw_np, np.zeros((pad, 9), dtype=np.int8)]).reshape(n_sf, sf, 9)
+    chunks = jnp.asarray(chunks_np)
 
     _lay, dlay, enc, dec = pipeline._stream_fns(cfg, sf_batch)
 
@@ -59,8 +64,11 @@ def main():
     assert np.array_equal(got, np.asarray(raw[:16]))
 
     # distinct input per iteration: defeats any remote result caching
+    # (variants built host-side: integer mod on the VPU is pathologically
+    # slow, docs/PERF.md)
     iters = 4
-    variants = [(chunks + i) % 27 for i in range(1, iters + 1)]
+    variants = [jnp.asarray((chunks_np + i) % 27)
+                for i in range(1, iters + 1)]
     for v in variants:
         v.block_until_ready()
     t0 = time.perf_counter()

@@ -25,6 +25,7 @@ Reference parity (semantics, not implementation):
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax.numpy as jnp
@@ -327,7 +328,9 @@ def mod3_matmul(x, M, out_dtype=jnp.int8):
     forces the operand to be written once, and the dot reads it back at
     full HBM bandwidth.
     """
-    x = lax.optimization_barrier(x.astype(jnp.int8))
+    x = x.astype(jnp.int8)
+    if not os.environ.get("T3_NO_BARRIER"):
+        x = lax.optimization_barrier(x)
     y = jnp.matmul(x, jnp.asarray(M, dtype=jnp.int8),
                    preferred_element_type=jnp.int32)
     return fmod3(y.astype(jnp.float32)).astype(out_dtype)

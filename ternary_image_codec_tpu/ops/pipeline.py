@@ -454,7 +454,7 @@ def _ceil_div(a: int, b: int) -> int:
 
 
 @functools.cache
-def _stream_fns(cfg: EncoderConfig, sf_batch: int):
+def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged"):
     layout = build_encode_layout(cfg, cfg.superframe_words)
     enc_one = _encode_fn(layout)
     sf_hdr = SuperframeHeader(
@@ -468,10 +468,12 @@ def _stream_fns(cfg: EncoderConfig, sf_batch: int):
         """Decode one micro-batch of superframes (sfb, H, 9).
 
         The RS stage runs OUTSIDE the per-superframe vmap, over all blocks
-        of the micro-batch folded together, so decode_dig_cond's whole-batch
-        zero-syndrome fast path is a real runtime branch (one syndrome
-        matmul, then skip BM/Chien/Forney entirely when the micro-batch is
-        clean -- the overwhelmingly common case on intact streams).
+        of the micro-batch folded together, so decode_dig_paged can compact
+        the (few) dirty pages of blocks across the whole micro-batch and run
+        the BM/Chien/Forney chain only there -- intact streams pay the
+        syndrome matmul plus ~1/8 of the correction chain instead of all of
+        it (rs_mode="full" keeps the unconditional chain for adversarially
+        dense corruption).
         """
         sfb = batch_body.shape[0]
         blocks = jax.vmap(pre)(batch_body)      # tuple of (sfb, nblk, 26, 3)
@@ -483,7 +485,8 @@ def _stream_fns(cfg: EncoderConfig, sf_batch: int):
         for k, idxs in by_k.items():
             cat = jnp.concatenate(
                 [blocks[i].reshape(-1, rs.N, 3) for i in idxs], axis=0)
-            d, ok = rs.decode_dig_cond(cat, k)
+            d, ok = (rs.decode_dig_paged if rs_mode == "paged"
+                     else rs.decode_dig)(cat, k)
             start = 0
             for i in idxs:
                 nblk = meta[i][1]
@@ -512,10 +515,15 @@ def _stream_fns(cfg: EncoderConfig, sf_batch: int):
         out = lax.map(jax.vmap(enc_one), _rebatch(chunks))
         return out.reshape(-1, layout.total_words, NUM_BANDS)[:n]
 
+    # rs_mode="legacy": per-superframe full chain under vmap (the original
+    # structure, kept for A/B perf comparison -- tools/profile_stages.py)
+    dec_body = (jax.vmap(_decode_body_fn(dlayout)) if rs_mode == "legacy"
+                else dec_micro)
+
     @jax.jit
     def dec_stream(words):  # (n_sf, total, 9) -> ((n_sf, out_words, 9), ok)
         n = words.shape[0]
-        raw, ok = lax.map(dec_micro, _rebatch(words[:, HEADER_WORDS:, :]))
+        raw, ok = lax.map(dec_body, _rebatch(words[:, HEADER_WORDS:, :]))
         raw = raw.reshape(-1, dlayout.n_out_words, NUM_BANDS)[:n]
         return raw, jnp.all(ok)
 

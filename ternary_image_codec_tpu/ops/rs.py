@@ -309,36 +309,64 @@ def decode_dig(recv_dig, k: int):
     batched execution returns per-block status flags, SURVEY.md section 5
     "failure detection").
 
-    vmap-safe (no lax.cond); for large top-level batches prefer
-    decode_dig_cond, which short-circuits clean batches.
+    For large mostly-clean batches prefer decode_dig_paged, which runs the
+    correction chain only on dirty pages of blocks.
     """
     recv_dig = jnp.asarray(recv_dig)
     return _correct_dig(recv_dig, syndromes_dig(recv_dig, k), k)
 
 
-def decode_dig_cond(recv_dig, k: int):
-    """decode_dig with a whole-batch zero-syndrome fast path.
+def decode_dig_paged(recv_dig, k: int, page: int = 256,
+                     max_dirty_pages: int | None = None):
+    """decode_dig with page-compacted error correction.
 
-    Production RS decoders short-circuit clean codewords; here the check is
-    one syndrome matmul and a scalar reduction, and `lax.cond` executes only
-    one branch at runtime: a clean batch skips the entire BM/Chien/Forney
-    chain (the dominant decode cost).  NOT for use under vmap (cond would
-    degrade to a select that runs both branches); the streaming pipeline
-    calls this at the micro-batch level, outside vmap.
+    Production RS decoders short-circuit clean codewords.  A whole-batch
+    `lax.cond` fast path was measured SLOWER than always running the chain
+    on TPU (the branch boundary forces the block tensor to materialize and
+    breaks XLA fusion across it — docs/PERF.md), so the skip is done by
+    compaction instead, in straight-line code:
+
+      1. one syndrome matmul over ALL blocks (cheap, MXU);
+      2. group blocks into pages of `page`; gather the (at most C) dirty
+         pages into a fixed-size buffer;
+      3. run BM + Chien + Forney on C*page blocks only (C << npages on
+         intact streams: clean inputs pay ~1/8 of the chain, not all of it);
+      4. scatter corrected data back (out-of-range sentinel rows drop).
+
+    Capacity semantics: at most C = max_dirty_pages pages are corrected per
+    call (default npages/8, min 8).  Blocks in dirty pages beyond capacity
+    are returned uncorrected with ok=False — fail-safe, never silently
+    wrong, matching the per-block status-flag contract (SURVEY.md section 5
+    "failure detection").  For adversarially dense corruption use
+    decode_dig, which corrects every block unconditionally.
     """
     recv_dig = jnp.asarray(recv_dig)
-    S_dig = syndromes_dig(recv_dig, k)
-    clean = jnp.all(S_dig == 0)
-
-    def fast(args):
-        rd, _ = args
-        return rd[:, :k], jnp.ones((rd.shape[0],), dtype=bool)
-
-    def slow(args):
-        rd, S = args
-        return _correct_dig(rd, S, k)
-
-    return lax.cond(clean, fast, slow, (recv_dig, S_dig))
+    M = _matrices(k)
+    r = M["r"]
+    B = recv_dig.shape[0]
+    npage = -(-B // page)
+    C = max_dirty_pages if max_dirty_pages is not None else max(8, npage // 8)
+    C = min(C, npage)
+    padB = npage * page - B
+    # zero-padded blocks are valid codewords (zero syndromes) => clean
+    rd = jnp.pad(recv_dig, ((0, padB), (0, 0), (0, 0)))
+    S = syndromes_dig(rd, k)                               # (Bp, r, 3)
+    dirty_blk = jnp.any(S.reshape(npage * page, 3 * r) != 0, axis=-1)
+    pdirty = jnp.any(dirty_blk.reshape(npage, page), axis=1)
+    # first C dirty page indices, ascending; clean pages sort to sentinel
+    pidx = jnp.sort(jnp.where(pdirty, jnp.arange(npage), npage))[:C]
+    valid = pidx < npage
+    psafe = jnp.where(valid, pidx, 0)
+    g_rd = rd.reshape(npage, page, N, 3)[psafe].reshape(C * page, N, 3)
+    g_S = S.reshape(npage, page, r, 3)[psafe].reshape(C * page, r, 3)
+    d_g, ok_g = _correct_dig(g_rd, g_S, k)
+    # scatter back; invalid slots target row `npage` -> dropped
+    tgt = jnp.where(valid, pidx, npage)
+    data = rd[:, :k, :].reshape(npage, page, k, 3)
+    data = data.at[tgt].set(d_g.reshape(C, page, k, 3), mode="drop")
+    ok = (~dirty_blk).reshape(npage, page)
+    ok = ok.at[tgt].set(ok_g.reshape(C, page), mode="drop")
+    return data.reshape(npage * page, k, 3)[:B], ok.reshape(-1)[:B]
 
 
 def decode(recv, k: int):

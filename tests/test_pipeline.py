@@ -181,9 +181,9 @@ class TestSuperframeStreaming:
         assert np.array_equal(np.asarray(out)[:32], raw[32:64])
 
     def test_stream_corrects_errors_via_slow_branch(self):
-        """Corrupt one symbol in one superframe: the micro-batch containing
-        it must take the full BM/Chien/Forney branch (decode_dig_cond) and
-        still recover exactly; clean micro-batches take the fast path."""
+        """Corrupt one symbol in one superframe: the dirty page must be
+        gathered into decode_dig_paged's correction buffer and recover
+        exactly; clean pages skip the BM/Chien/Forney chain."""
         from ternary_image_codec_tpu.config import (EncoderConfig, ProfileID,
                                                     uep_luma_priority)
         cfg = EncoderConfig(profile=ProfileID.P2_RS26_22,
