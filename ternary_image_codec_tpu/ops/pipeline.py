@@ -426,15 +426,28 @@ def _decode_parts(layout: DecodeLayout):
 
 
 @functools.cache
-def _decode_body_fn(layout: DecodeLayout):
-    """Single-superframe body decode (vmap-safe: uses plain decode_dig)."""
+def _decode_body_fn(layout: DecodeLayout, rs_mode: str = "paged"):
+    """Single-superframe body decode (vmap-safe).
+
+    rs_mode="paged" (default): rs.decode_dig_paged — the BM/Chien/Forney
+    chain runs only on dirty 32-block pages (a few per superframe even
+    under heavy scattered corruption; clean superframes skip ~all of it).
+    rs_mode="full": rs.decode_dig — unconditional chain on every block;
+    use for adversarially dense corruption (beyond the paged capacity the
+    per-block ok flags go False rather than silently wrong).
+
+    Measured on the chip (docs/PERF.md): keeping the RS stage INSIDE the
+    per-superframe vmap is faster than hoisting it to micro-batch level
+    (the concatenated-block layouts regressed decode 173 -> 233+ ms/frame).
+    """
     pre, post, meta = _decode_parts(layout)
+    op = ((lambda c, k: rs.decode_dig_paged(c, k, page=32))
+          if rs_mode == "paged" else rs.decode_dig)
 
     def fn(body_words):
         blocks = pre(body_words)
         dec = _grouped_rs(
-            [(i, blk, meta[i][2]) for i, blk in enumerate(blocks)],
-            rs.decode_dig)
+            [(i, blk, meta[i][2]) for i, blk in enumerate(blocks)], op)
         decoded = tuple(dec[i][0] for i in range(len(meta)))
         oks = [dec[i][1] for i in range(len(meta))]
         ok_all = jnp.all(jnp.concatenate(oks)) if oks else jnp.asarray(True)
@@ -455,6 +468,8 @@ def _ceil_div(a: int, b: int) -> int:
 
 @functools.cache
 def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged"):
+    if rs_mode == "legacy":    # historical alias (pre-paged full chain)
+        rs_mode = "full"
     layout = build_encode_layout(cfg, cfg.superframe_words)
     enc_one = _encode_fn(layout)
     sf_hdr = SuperframeHeader(
@@ -462,42 +477,6 @@ def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged"):
         beacon=cfg.beacon, subword=cfg.subword, centered=cfg.centered,
         coset=cfg.coset)
     dlayout = build_decode_layout(sf_hdr, layout.total_words - HEADER_WORDS)
-    pre, post, meta = _decode_parts(dlayout)
-
-    def dec_micro(batch_body):
-        """Decode one micro-batch of superframes (sfb, H, 9).
-
-        The RS stage runs OUTSIDE the per-superframe vmap, over all blocks
-        of the micro-batch folded together, so decode_dig_paged can compact
-        the (few) dirty pages of blocks across the whole micro-batch and run
-        the BM/Chien/Forney chain only there -- intact streams pay the
-        syndrome matmul plus ~1/8 of the correction chain instead of all of
-        it (rs_mode="full" keeps the unconditional chain for adversarially
-        dense corruption).
-        """
-        sfb = batch_body.shape[0]
-        blocks = jax.vmap(pre)(batch_body)      # tuple of (sfb, nblk, 26, 3)
-        by_k = {}
-        for i, (_b, _nblk, k) in enumerate(meta):
-            by_k.setdefault(k, []).append(i)
-        decoded = [None] * len(meta)
-        oks = []
-        for k, idxs in by_k.items():
-            cat = jnp.concatenate(
-                [blocks[i].reshape(-1, rs.N, 3) for i in idxs], axis=0)
-            d, ok = (rs.decode_dig_paged if rs_mode == "paged"
-                     else rs.decode_dig)(cat, k)
-            start = 0
-            for i in idxs:
-                nblk = meta[i][1]
-                n = sfb * nblk
-                decoded[i] = d[start:start + n].reshape(sfb, nblk, k, 3)
-                start += n
-            oks.append(ok)
-        out = jax.vmap(post)(tuple(decoded))
-        ok_all = (jnp.all(jnp.concatenate(oks)) if oks
-                  else jnp.asarray(True))
-        return out, ok_all
 
     def _rebatch(x):
         # pad the superframe axis to a multiple of sf_batch (repeat last)
@@ -515,10 +494,9 @@ def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged"):
         out = lax.map(jax.vmap(enc_one), _rebatch(chunks))
         return out.reshape(-1, layout.total_words, NUM_BANDS)[:n]
 
-    # rs_mode="legacy": per-superframe full chain under vmap (the original
-    # structure, kept for A/B perf comparison -- tools/profile_stages.py)
-    dec_body = (jax.vmap(_decode_body_fn(dlayout)) if rs_mode == "legacy"
-                else dec_micro)
+    # per-superframe decode under vmap (measured fastest structure); the
+    # RS chain strategy (paged / full) is selected inside _decode_body_fn
+    dec_body = jax.vmap(_decode_body_fn(dlayout, rs_mode))
 
     @jax.jit
     def dec_stream(words):  # (n_sf, total, 9) -> ((n_sf, out_words, 9), ok)

@@ -82,8 +82,18 @@ def main():
     for v in enc_vars:
         v.block_until_ready()
     print("compiling encode...", file=sys.stderr, flush=True)
+    def cost(fn, *a):
+        try:
+            c = fn.lower(*a).compile().cost_analysis()
+            c = c[0] if isinstance(c, list) else c
+            return {"gbytes": round(c.get("bytes accessed", 0) / 1e9, 3),
+                    "gflops": round(c.get("flops", 0) / 1e9, 3)}
+        except Exception as e:
+            return {"error": str(e)[:80]}
+
     enc(enc_vars[0])  # compile
     report["encode_s"] = timed(enc, enc_vars)
+    report["encode_cost"] = cost(enc, enc_vars[0])
     print(f'encode_s={report["encode_s"]:.4f}', file=sys.stderr, flush=True)
 
     prof = [enc(v) for v in enc_vars]
@@ -92,6 +102,7 @@ def main():
     print("compiling decode...", file=sys.stderr, flush=True)
     dec(prof[0])  # compile
     report["decode_clean_s"] = timed(dec, prof)
+    report["decode_cost"] = cost(dec, prof[0])
     print(f'decode_clean_s={report["decode_clean_s"]:.4f}',
           file=sys.stderr, flush=True)
 
