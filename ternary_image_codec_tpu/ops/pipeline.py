@@ -211,7 +211,10 @@ def _grouped_rs(items, op):
 
 
 @functools.cache
-def _encode_fn(layout: EncodeLayout):
+def _encode_parts(layout: EncodeLayout):
+    """Encode split into (to_cols, rs_stage, build_words) for stage-level
+    profiling (tools/profile_stages.py --encode-stages); _encode_fn composes
+    them into the one fused jit the pipeline ships."""
     cfg, geom = layout.cfg, layout.geom
     n_sy = layout.n_sy
     beacon = cfg.beacon
@@ -229,7 +232,7 @@ def _encode_fn(layout: EncodeLayout):
     bsym_dig = np.asarray([geom.beacon_sym % 3, (geom.beacon_sym // 3) % 3,
                            (geom.beacon_sym // 9) % 3], dtype=np.int8)
 
-    def fn(raw_words):
+    def to_cols(raw_words):
         # Digit-native flow: the 26 useful trits of each word ARE the digit
         # planes of the GF27 symbol stream -- symbols are never packed until
         # the final wire words.  (Every pack/unpack was a full HBM pass.)
@@ -247,12 +250,22 @@ def _encode_fn(layout: EncodeLayout):
         else:
             dig = jnp.pad(dig, ((0, NUM_BANDS * max_need - n_sy), (0, 0)))
         # 3) round-robin band split = one reshape: cols[:, b] = dig[b::9]
-        cols = dig.reshape(max_need, NUM_BANDS, 3)
+        return dig.reshape(max_need, NUM_BANDS, 3)
+
+    def rs_stage(cols):
         # per-band RS encode (digit-native), one matmul per distinct k
         enc = _grouped_rs(
             [(b, cols[:needs[b], b].reshape(geom.blocks[b], geom.ks[b], 3),
               geom.ks[b]) for b in range(NUM_BANDS) if geom.blocks[b]],
             rs.encode_dig)
+        return tuple(enc[b] for b in range(NUM_BANDS) if geom.blocks[b])
+
+    def build_words(enc_tuple):
+        enc, i = {}, 0
+        for b in range(NUM_BANDS):
+            if geom.blocks[b]:
+                enc[b] = enc_tuple[i]
+                i += 1
         # 4) build the body grid column by column (beacon via closed form)
         out_cols = []
         for b in range(NUM_BANDS):
@@ -292,6 +305,16 @@ def _encode_fn(layout: EncodeLayout):
                                                              NUM_BANDS)
         return jnp.concatenate(
             [jnp.asarray(layout.header_words, dtype=jnp.int8), body], axis=0)
+
+    return to_cols, rs_stage, build_words
+
+
+@functools.cache
+def _encode_fn(layout: EncodeLayout):
+    to_cols, rs_stage, build_words = _encode_parts(layout)
+
+    def fn(raw_words):
+        return build_words(rs_stage(to_cols(raw_words)))
 
     return jax.jit(fn)
 

@@ -45,9 +45,19 @@ def main():
                     help="A/B: paged (dirty-page-compacted chain), full "
                          "(unconditional chain, micro-batch RS), legacy "
                          "(per-superframe chain under vmap)")
+    ap.add_argument("--encode-stages", action="store_true",
+                    help="time encode sub-stages (to_cols / rs / "
+                         "build_words) as separate jits")
+    ap.add_argument("--decode-stages", action="store_true",
+                    help="time decode sub-stages (pre / rs / post) as "
+                         "separate jits")
     args = ap.parse_args()
 
     import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # env alone is not enough: a sitecustomize hook force-registers the
+        # tunneled TPU backend (CLAUDE.md "environment gotchas")
+        jax.config.update("jax_platforms", "cpu")
     # persistent compile cache: first compile over the remote tunnel is
     # minutes; cached reloads are seconds (tests/conftest.py does the same)
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -57,7 +67,8 @@ def main():
                                                 uep_luma_priority)
     from ternary_image_codec_tpu.ops import pipeline
 
-    W, H = 7680, 4320
+    W, H = (int(x) for x in
+            os.environ.get("T3_BENCH_WH", "7680x4320").split("x"))
     n_raw = W * H // 2
     cfg = EncoderConfig(profile=ProfileID.P2_RS26_22, uep=uep_luma_priority())
     sf = cfg.superframe_words
@@ -115,6 +126,58 @@ def main():
                 d[:, pipeline.HEADER_WORDS + 7, 4] + 1) % 27
             dirty.append(jnp.asarray(d))
         report["decode_dirty_s"] = timed(dec, dirty)
+
+    from jax import lax
+
+    def stream_of(stage_fn):
+        """Wrap a per-superframe stage as the lax.map(vmap(.)) stream the
+        real pipeline uses, so sub-stage timings add up comparably."""
+        @jax.jit
+        def run(x):
+            return lax.map(jax.vmap(stage_fn), x)
+        return run
+
+    def rebatch(x, n):
+        nb = -(-x.shape[0] // args.sf_batch)
+        pad = nb * args.sf_batch - x.shape[0]
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)])
+        return x.reshape(nb, args.sf_batch, *x.shape[1:])
+
+    if args.encode_stages:
+        layout = pipeline.build_encode_layout(cfg, sf)
+        to_cols, rs_stage, build_words = pipeline._encode_parts(layout)
+        xs_l = [rebatch(v.reshape(-1, sf, 9), n_sf) for v in enc_vars[:2]]
+        f1, f2, f3 = (stream_of(s) for s in (to_cols, rs_stage, build_words))
+        cols_l = [f1(x) for x in xs_l]
+        report["enc_to_cols_s"] = timed(f1, xs_l)
+        encd_l = [f2(c) for c in cols_l]
+        report["enc_rs_s"] = timed(f2, cols_l)
+        f3(encd_l[0])
+        report["enc_build_words_s"] = timed(f3, encd_l)
+        print("encode stages done", file=sys.stderr, flush=True)
+
+    if args.decode_stages:
+        from ternary_image_codec_tpu.ops import rs as RS
+        pre, post, meta = pipeline._decode_parts(dlay)
+        body_l = [rebatch(p[:, pipeline.HEADER_WORDS:, :], n_sf)
+                  for p in prof[:2]]
+
+        def rs_only(blks):
+            dec = pipeline._grouped_rs(
+                [(i, blk, meta[i][2]) for i, blk in enumerate(blks)],
+                (lambda c, kk: RS.decode_dig_paged(c, kk, page=32))
+                if args.rs_mode == "paged" else RS.decode_dig)
+            return tuple(dec[i][0] for i in range(len(meta)))
+
+        g1, g2, g3 = (stream_of(s) for s in (pre, rs_only, post))
+        blk_l = [g1(b) for b in body_l]
+        report["dec_pre_s"] = timed(g1, body_l)
+        decd_l = [g2(b) for b in blk_l]
+        report["dec_rs_s"] = timed(g2, blk_l)
+        g3(decd_l[0])
+        report["dec_post_s"] = timed(g3, decd_l)
+        print("decode stages done", file=sys.stderr, flush=True)
 
     report["enc_dec_fps"] = round(
         1.0 / (report["encode_s"] + report["decode_clean_s"]), 3)
