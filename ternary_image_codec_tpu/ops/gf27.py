@@ -313,6 +313,70 @@ def is_zero_dig(d):
     return jnp.sum(d, axis=-1) == 0
 
 
+# ---------------------------------------------------------------------------
+# Plane-major ("pm") layouts
+# ---------------------------------------------------------------------------
+# TPU int8 arrays are stored in (32, 128)-padded tiles over their two minor
+# dims.  The original (..., n_sym, 3) digit layout pads 3 -> 128 lanes: a
+# measured ~16x slowdown for the same logical bytes (tools/hbm_probe.py
+# --layouts).  Plane-major layouts put the DIGIT axis first and a large axis
+# minor: blocks are (3, 26, B), grids are (27, H).  The helpers below build
+# the GF(3)-linear map tensors for lax.dot_general contractions that consume
+# those layouts directly (no transposes between stages).
+
+
+def gf3_linmap_pm(C: np.ndarray) -> np.ndarray:
+    """Lift GF27 matrix C (n_in, n_out) to M2 (3*n_out, 3, n_in) with
+    out[d_out*n_out + c_out, b] = sum_{d_in,c_in} M2[o, d_in, c_in] *
+    x[d_in, c_in, b]  (mod 3) for plane-major x (3, n_in, B):
+
+        out = lax.dot_general(M2, x, (((1, 2), (0, 1)), ((), ())))
+
+    giving (3*n_out, B) whose rows reshape to (3, n_out, B)."""
+    M = gf3_linmap(C)                       # (3n_in, 3n_out) cm convention
+    n_in, n_out = np.asarray(C).shape
+    A = M.T.reshape(n_out, 3, n_in, 3)      # [c_out, d_out, c_in, d_in]
+    return np.ascontiguousarray(
+        A.transpose(1, 0, 3, 2).reshape(3 * n_out, 3, n_in)).astype(np.int8)
+
+
+def mod3_dot_pm(M2, x, out_dtype=jnp.int8):
+    """Plane-major GF(3) linear map: M2 (3m, 3, n) . x (3, n, B) -> (3m, B).
+
+    One MXU contraction over the 3n digit coordinates; mod-3 via the float
+    path (sums bounded well inside f32-exact range)."""
+    y = lax.dot_general(jnp.asarray(M2, dtype=jnp.int8), x.astype(jnp.int8),
+                        (((1, 2), (0, 1)), ((), ())),
+                        preferred_element_type=jnp.int32)
+    return fmod3(y.astype(jnp.float32)).astype(out_dtype)
+
+
+def mul_pm(a, b):
+    """GF(27) product, digit axis 0 (plane-major); shapes broadcast."""
+    a0, a1, a2 = a[0], a[1], a[2]
+    b0, b1, b2 = b[0], b[1], b[2]
+    r0 = a0 * b0
+    r1 = a0 * b1 + a1 * b0
+    r2 = a0 * b2 + a1 * b1 + a2 * b0
+    r3 = a1 * b2 + a2 * b1
+    r4 = a2 * b2
+    return jnp.stack([_m3i(r0 + 2 * r3), _m3i(r1 + r3 + 2 * r4),
+                      _m3i(r2 + r4)], axis=0)
+
+
+def inv_pm(d):
+    """Field inverse for plane-major digits (3, ...); inv(0) = 0.
+
+    One-hot + (3, 27) table contraction (gather-free, rides the MXU)."""
+    sym = (d[0] + 3 * d[1] + 9 * d[2]).astype(jnp.int8)      # (...,)
+    onehot = (sym[None] == jnp.arange(27, dtype=jnp.int8)
+              .reshape(27, *([1] * sym.ndim))).astype(jnp.int8)  # (27, ...)
+    tab = jnp.asarray(_inv_dig_table().T, dtype=jnp.int8)    # (3, 27)
+    y = lax.dot_general(tab, onehot, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32)
+    return y.astype(jnp.int8)                                 # (3, ...)
+
+
 def mod3_matmul(x, M, out_dtype=jnp.int8):
     """x (..., n) int trits @ M (n, m) trits, mod 3.
 

@@ -185,36 +185,76 @@ def _beacon_payload_rows(usable: int, period: int):
     return j + j // (period - 1) + 1
 
 
-def _grouped_rs(items, op):
+def _grouped_rs(items, op, axis: int = 0):
     """Run rs.encode/rs.decode once per distinct k over concatenated blocks.
 
-    items: list of (tag, blocks_array (nblk, width), k).  Returns dict
-    tag -> op result slice, preserving per-item block order.
+    items: list of (tag, blocks_array, k) with the block axis at `axis`
+    (0 for the coeff-minor layout, -1/1 for plane-major).  Returns dict
+    tag -> op result slice, preserving per-item block order.  Tuple results
+    are sliced per element; a 1D element (the ok flags) is sliced on its
+    only axis regardless of `axis`.
     """
     by_k = {}
     for tag, arr, k in items:
         by_k.setdefault(k, []).append((tag, arr))
     out = {}
+
+    def slc(r, start, n):
+        ax = 0 if r.ndim == 1 else axis
+        idx = [slice(None)] * r.ndim
+        idx[ax] = slice(start, start + n)
+        return r[tuple(idx)]
+
     for k, group in by_k.items():
-        cat = jnp.concatenate([a for _, a in group], axis=0)
+        cat = jnp.concatenate([a for _, a in group], axis=axis)
         res = op(cat, k)
         is_tuple = isinstance(res, tuple)
         start = 0
         for tag, a in group:
-            n = a.shape[0]
+            n = a.shape[axis]
             if is_tuple:
-                out[tag] = tuple(r[start:start + n] for r in res)
+                out[tag] = tuple(slc(r, start, n) for r in res)
             else:
-                out[tag] = res[start:start + n]
+                out[tag] = slc(res, start, n)
             start += n
     return out
+
+
+def _pm_offsets(H: int, seed, sign: float):
+    """Scrambler offsets for the (27, H) plane-major body grid.
+
+    Cell (h, band b) is the (h*9+b)-th scrambled cell; the offset sequence
+    has period 6 (ops/scramble.py), and (9h+b) mod 6 = (3*(h&1) + b) mod 6,
+    so the whole (27, H) offset field is a parity select between two static
+    per-row constants -- no big iota arithmetic."""
+    pat = scramble.offsets(6, seed.a, seed.b, seed.s0, dtype=jnp.float32)
+    b_of_row = np.arange(27) // 3
+    even_idx = np.asarray(b_of_row % 6)
+    odd_idx = np.asarray((3 + b_of_row) % 6)
+    A = pat[even_idx] * sign                      # (27,)
+    Bv = pat[odd_idx] * sign
+    h_even = (jnp.arange(H, dtype=jnp.int32) & 1) == 0
+    return jnp.where(h_even[None, :], A[:, None], Bv[:, None])  # (27, H)
 
 
 @functools.cache
 def _encode_parts(layout: EncodeLayout):
     """Encode split into (to_cols, rs_stage, build_words) for stage-level
     profiling (tools/profile_stages.py --encode-stages); _encode_fn composes
-    them into the one fused jit the pipeline ships."""
+    them into the one fused jit the pipeline ships.
+
+    Dispatches to the plane-major implementation (digit axis leading, word
+    axis minor -- measured ~16x cheaper HBM tiling, tools/hbm_probe.py);
+    the P5 2D-interleave profile keeps the coeff-minor path (its symbol
+    permutation is written against the (n, 3) stream layout)."""
+    if (layout.cfg.profile == ProfileID.P5_RS26_22_2D
+            and layout.cfg.tile.w and layout.cfg.tile.h):
+        return _encode_parts_cm(layout)
+    return _encode_parts_pm(layout)
+
+
+@functools.cache
+def _encode_parts_cm(layout: EncodeLayout):
     cfg, geom = layout.cfg, layout.geom
     n_sy = layout.n_sy
     beacon = cfg.beacon
@@ -310,6 +350,83 @@ def _encode_parts(layout: EncodeLayout):
 
 
 @functools.cache
+def _encode_parts_pm(layout: EncodeLayout):
+    """Plane-major encode: grids are (27, H) [row = 3*band + digit], RS
+    blocks are (3, nblk, 26) -- every materialized tensor keeps a large
+    axis in the TPU lane dimension (see rs.py "plane-major" notes)."""
+    from .gf27 import fmod3
+    cfg, geom = layout.cfg, layout.geom
+    n_sy = layout.n_sy
+    beacon = cfg.beacon
+    needs = [geom.blocks[b] * geom.ks[b] for b in range(NUM_BANDS)]
+    max_need = max(needs) if needs else 0
+    active = [b for b in range(NUM_BANDS) if geom.blocks[b]]
+
+    bsym_dig = np.asarray([geom.beacon_sym % 3, (geom.beacon_sym // 3) % 3,
+                           (geom.beacon_sym // 9) % 3], dtype=np.int8)
+
+    def to_cols(raw_words):
+        # words (sf, 9) -> trit stream -> (27, max_need) grid: trit
+        # 27j + 3b + d is digit d of stream symbol 9j + b, so the whole
+        # round-robin band split is ONE (m, 27) -> (27, m) transpose.
+        s = raw_words.astype(jnp.float32)
+        q1 = jnp.floor(s * (1.0 / 3.0))
+        q2 = jnp.floor(s * (1.0 / 9.0))
+        t27 = jnp.stack([s - 3.0 * q1, q1 - 3.0 * q2,
+                         q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0))], axis=-1)
+        flat = t27.reshape(-1, 27)[:, :26].reshape(-1)
+        flat = jnp.pad(flat, (0, 27 * max_need - flat.shape[0]))
+        return flat.reshape(max_need, 27).T.astype(jnp.int8)   # (27, m)
+
+    def rs_stage(cols):
+        items = [(b,
+                  cols[3 * b:3 * b + 3, :needs[b]]
+                  .reshape(3, geom.blocks[b], geom.ks[b]),
+                  geom.ks[b]) for b in active]
+        enc = _grouped_rs(items, rs.encode_pm_blocks, axis=1)
+        return tuple(enc[b] for b in active)      # (3, nblk, 26) per band
+
+    def build_words(enc_tuple):
+        enc = dict(zip(active, enc_tuple))
+        out_cols = []
+        r = jnp.arange(geom.H, dtype=jnp.int32)
+        for b in range(NUM_BANDS):
+            stream = (enc[b].reshape(3, -1) if geom.blocks[b]
+                      else jnp.zeros((3, 0), dtype=jnp.int8))
+            stream = jnp.pad(
+                stream, ((0, 0), (0, geom.usable[b] - stream.shape[1])))
+            if beacon.enabled and b == beacon.band_slot:
+                if beacon.words_period == 1:
+                    col = jnp.broadcast_to(jnp.asarray(bsym_dig)[:, None],
+                                           (3, geom.H))
+                else:
+                    is_b = r % beacon.words_period == 0
+                    payload_idx = jnp.clip(
+                        r - r // beacon.words_period - 1, 0,
+                        max(geom.usable[b] - 1, 0))
+                    col = jnp.where(is_b[None, :],
+                                    jnp.asarray(bsym_dig)[:, None],
+                                    stream[:, payload_idx])
+            else:
+                col = stream  # usable == H
+            out_cols.append(col)
+        grid = jnp.concatenate(out_cols, axis=0)          # (27, H)
+        off = _pm_offsets(geom.H, cfg.seed, 1.0)
+        scr = fmod3(grid.astype(jnp.float32) + off + 3.0).astype(jnp.int8)
+        if beacon.enabled:
+            row_hot = np.zeros(27, dtype=bool)
+            row_hot[3 * beacon.band_slot:3 * beacon.band_slot + 3] = True
+            is_b = r % max(beacon.words_period, 1) == 0
+            scr = jnp.where(jnp.asarray(row_hot)[:, None] & is_b[None, :],
+                            grid, scr)
+        body = (scr[0::3] + 3 * scr[1::3] + 9 * scr[2::3]).T  # (H, 9)
+        return jnp.concatenate(
+            [jnp.asarray(layout.header_words, dtype=jnp.int8), body], axis=0)
+
+    return to_cols, rs_stage, build_words
+
+
+@functools.cache
 def _encode_fn(layout: EncodeLayout):
     to_cols, rs_stage, build_words = _encode_parts(layout)
 
@@ -382,20 +499,84 @@ def decode_header_from_words(words) -> Tuple[Optional[SuperframeHeader], bool]:
 
 @functools.cache
 def _decode_parts(layout: DecodeLayout):
-    """Split body decode into (pre, post, meta) so the RS stage can run at
-    a coarser batch level than one superframe (see _stream_fns):
+    """Split body decode into (pre, post, meta, fmt):
 
-      pre(body_words (H, 9))  -> tuple of per-band RS block arrays
-                                 (nblk_b, 26, 3), one per *active* band;
+      pre(body_words (H, 9))  -> tuple of per-band RS block arrays, one per
+                                 *active* band -- (3, 26, nblk_b) in the
+                                 plane-major format ("pm", the default) or
+                                 (nblk_b, 26, 3) in the coeff-minor fallback
+                                 ("cm", used by the P5 2D profile);
       meta                     = tuple of (band, nblk, k) aligned with pre's
                                  outputs (static per layout);
       post(decoded)            -> out words (n_out_words, 9), where decoded
-                                 is a tuple of (nblk, k, 3) aligned with meta.
+                                 is the same-format tuple of data digits.
 
     Both pre and post are vmap-safe; the RS decode between them is NOT part
-    of either, so callers choose decode_dig (under vmap) or decode_dig_cond
-    (micro-batch fast path).
+    of either, so callers choose the chain strategy (paged / full).
     """
+    if (layout.hdr.profile == ProfileID.P5_RS26_22_2D
+            and layout.hdr.tile.w and layout.hdr.tile.h):
+        return _decode_parts_cm(layout)
+    return _decode_parts_pm(layout)
+
+
+@functools.cache
+def _decode_parts_pm(layout: DecodeLayout):
+    """Plane-major decode pre/post (see _encode_parts_pm for the layout)."""
+    from .gf27 import fmod3
+    hdr, geom = layout.hdr, layout.geom
+    beacon = hdr.beacon
+    dlens = [geom.blocks[b] * geom.ks[b] for b in range(NUM_BANDS)]
+    max_d = max(dlens) if dlens else 0
+    meta = tuple((b, geom.blocks[b], geom.ks[b])
+                 for b in range(NUM_BANDS) if geom.blocks[b])
+
+    def pre(body_words):
+        wT = body_words.T.astype(jnp.float32)            # (9, H)
+        q1 = jnp.floor(wT * (1.0 / 3.0))
+        q2 = jnp.floor(wT * (1.0 / 9.0))
+        grid = jnp.stack(
+            [wT - 3.0 * q1, q1 - 3.0 * q2,
+             q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0))], axis=1
+        ).reshape(27, geom.H)                            # rows 3b + d
+        off = _pm_offsets(geom.H, hdr.seed, -1.0)
+        dig = fmod3(grid + off + 3.0).astype(jnp.int8)
+        outs = []
+        for b, nblk, _k in meta:
+            band = dig[3 * b:3 * b + 3]                  # (3, H)
+            if beacon.enabled and b == beacon.band_slot:
+                rows = _beacon_payload_rows(geom.usable[b],
+                                            beacon.words_period)
+                band = band[:, rows]
+            outs.append(band[:, :nblk * rs.N]
+                        .reshape(3, nblk, rs.N).transpose(0, 2, 1))
+        return tuple(outs)                               # (3, 26, nblk)
+
+    def post(decoded):
+        streams, i = [], 0
+        for b in range(NUM_BANDS):
+            if geom.blocks[b] == 0:
+                streams.append(jnp.zeros((3, max_d), dtype=jnp.int8))
+                continue
+            d = decoded[i]                               # (3, k, nblk)
+            i += 1
+            s = d.transpose(0, 2, 1).reshape(3, -1)      # (3, dlens[b])
+            streams.append(jnp.pad(s, ((0, 0), (0, max_d - dlens[b]))))
+        M27 = jnp.concatenate(streams, axis=0)           # (27, max_d)
+        # trit 27j + 3b + d is digit d of out-stream symbol 9j + b: the
+        # round-robin merge is ONE transpose + flat regroup to 26/word
+        flat = M27.T.reshape(-1)
+        t = flat[:layout.n_out_words * 26].reshape(layout.n_out_words, 26)
+        t = jnp.concatenate(
+            [t, jnp.zeros((layout.n_out_words, 1), dtype=t.dtype)], axis=-1)
+        return (t[:, 0::3] + 3 * t[:, 1::3] + 9 * t[:, 2::3]) \
+            .astype(jnp.int8)                            # (n_out, 9)
+
+    return pre, post, meta, "pm"
+
+
+@functools.cache
+def _decode_parts_cm(layout: DecodeLayout):
     hdr, geom = layout.hdr, layout.geom
     beacon = hdr.beacon
     dlens = [geom.blocks[b] * geom.ks[b] for b in range(NUM_BANDS)]
@@ -445,7 +626,7 @@ def _decode_parts(layout: DecodeLayout):
             [t, jnp.zeros((layout.n_out_words, 1), dtype=t.dtype)], axis=-1)
         return subword.trits_to_words(t)
 
-    return pre, post, meta
+    return pre, post, meta, "cm"
 
 
 @functools.cache
@@ -463,14 +644,21 @@ def _decode_body_fn(layout: DecodeLayout, rs_mode: str = "paged"):
     per-superframe vmap is faster than hoisting it to micro-batch level
     (the concatenated-block layouts regressed decode 173 -> 233+ ms/frame).
     """
-    pre, post, meta = _decode_parts(layout)
-    op = ((lambda c, k: rs.decode_dig_paged(c, k, page=32))
-          if rs_mode == "paged" else rs.decode_dig)
+    pre, post, meta, fmt = _decode_parts(layout)
+    if fmt == "pm":
+        op = ((lambda c, k: rs.decode_paged_pm(c, k, page=32))
+              if rs_mode == "paged" else rs.decode_pm)
+        axis = -1
+    else:
+        op = ((lambda c, k: rs.decode_dig_paged(c, k, page=32))
+              if rs_mode == "paged" else rs.decode_dig)
+        axis = 0
 
     def fn(body_words):
         blocks = pre(body_words)
         dec = _grouped_rs(
-            [(i, blk, meta[i][2]) for i, blk in enumerate(blocks)], op)
+            [(i, blk, meta[i][2]) for i, blk in enumerate(blocks)], op,
+            axis=axis)
         decoded = tuple(dec[i][0] for i in range(len(meta)))
         oks = [dec[i][1] for i in range(len(meta))]
         ok_all = jnp.all(jnp.concatenate(oks)) if oks else jnp.asarray(True)

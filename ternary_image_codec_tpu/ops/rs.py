@@ -159,12 +159,18 @@ def syndromes(recv, k: int):
 
 
 def _berlekamp_massey(S_dig, r: int, smax: int):
-    """Batched INVERSIONLESS BM (Burton variant).
+    """(B, r, 3) syndromes -> ((B, smax, 3) sigma, (B,) L); see _bm_core."""
+    sigma, L = _bm_core(S_dig.astype(jnp.int8).transpose(1, 2, 0), r, smax)
+    return sigma.transpose(2, 0, 1), L
 
-    S_dig: (B, r, 3) syndrome digits -> sigma digits (B, smax, 3), scaled by
-    an arbitrary nonzero field constant per block.  The scale is harmless:
-    Chien roots are invariant, and Forney's Y = -Omega(X)/sigma'(X) cancels
-    it (Omega = S*sigma mod x^r and sigma' scale identically).
+
+def _bm_core(S3d, r: int, smax: int):
+    """Batched INVERSIONLESS BM (Burton variant), internal layout.
+
+    S3d: (r, 3, B) syndrome digits -> (sigma (smax, 3, B), L (B,)); sigma is
+    scaled by an arbitrary nonzero field constant per block.  The scale is
+    harmless: Chien roots are invariant, and Forney's Y = -Omega(X)/sigma'(X)
+    cancels it (Omega = S*sigma mod x^r and sigma' scale identically).
 
     TPU-first choices (each was a measured multi-second pathology at frame
     batch sizes otherwise):
@@ -175,13 +181,13 @@ def _berlekamp_massey(S_dig, r: int, smax: int):
       replaced by the inversionless update sigma <- b*sigma - d*(x^m B)
       (an inv chain inside the unrolled loop exploded the XLA graph).
     Branch decisions are branchless masked updates over the whole batch.
+
+    Whole-polynomial digit layout (coeff, digit, B): the batch axis is the
+    (last) lane axis, so the VPU sees full (8,128) tiles, and each
+    polynomial-wide field op is ONE set of elementwise ops (the previous
+    per-coefficient formulation compiled ~10x more HLO).
     """
-    B_ = S_dig.shape[0]
-    # Whole-polynomial digit layout (coeff, digit, B): the batch axis is the
-    # (last) lane axis, so the VPU sees full (8,128) tiles, and each
-    # polynomial-wide field op is ONE set of elementwise ops (the previous
-    # per-coefficient formulation compiled ~10x more HLO).
-    S3d = S_dig.astype(jnp.int8).transpose(1, 2, 0)        # (r, 3, B)
+    B_ = S3d.shape[-1]
 
     def m3(a, b):
         """GF(27) product, digit axis = -2; shapes broadcast on axis 0."""
@@ -229,7 +235,7 @@ def _berlekamp_massey(S_dig, r: int, smax: int):
         m = jnp.where(grow[0, 0], 1, m + 1)
         sigma = sigma_new
 
-    return sigma.transpose(2, 0, 1), L                     # (B, smax, 3)
+    return sigma, L                                        # (smax, 3, B)
 
 
 def syndromes_dig(recv_dig, k: int):
@@ -373,6 +379,163 @@ def decode(recv, k: int):
     """Decode blocks.  recv: (B, 26) GF27 symbols -> (data (B, k) int8, ok)."""
     data_dig, ok = decode_dig(sym_to_dig(recv), k)
     return dig_to_sym(data_dig).astype(jnp.int8), ok
+
+
+# ---------------------------------------------------------------------------
+# plane-major ("pm") codec: blocks are (3, 26, B) int8
+# ---------------------------------------------------------------------------
+# TPU tiles int8 arrays over their two minor dims; the (B, 26, 3) layout
+# pads 3 -> 128 lanes (measured ~16x traffic blowup, tools/hbm_probe.py).
+# The pm codec keeps the digit axis leading and the block axis minor, and
+# every fixed GF27 linear map is one lax.dot_general over (digit, coeff)
+# coordinates (gf27.gf3_linmap_pm) -- no transposes between chain stages.
+
+
+@functools.cache
+def _matrices_pm(k: int):
+    M = _matrices(k)
+    r, smax = M["r"], M["smax"]
+    ii = np.arange(N)[:, None]
+    Csynd = np_alpha_pow((np.arange(r)[None, :] + 1) * ii)        # (26, r)
+    dd = np.arange(smax)[:, None]
+    pos = np.arange(N)[None, :]
+    Cchien = np_alpha_pow(-pos * dd)                              # (smax, 26)
+    Com = np_alpha_pow(-pos * np.arange(r)[:, None])              # (r, 26)
+    Csp = np.zeros((smax, N), dtype=np.int64)
+    for d in range(1, smax):
+        s = d % 3
+        if s:
+            Csp[d] = np_gf_mul(s, np_alpha_pow(-pos[0] * (d - 1)))
+    return {
+        "r": r, "smax": smax,
+        "G2": gf27.gf3_linmap_pm(M["G"]),    # data (3,k,B)    -> (78, B)
+        "S2": gf27.gf3_linmap_pm(Csynd),     # recv (3,26,B)   -> (3r, B)
+        "CH2": gf27.gf3_linmap_pm(Cchien),   # sigma (3,smax,B)-> (78, B)
+        "OM2": gf27.gf3_linmap_pm(Com),      # omega (3,r,B)   -> (78, B)
+        "SP2": gf27.gf3_linmap_pm(Csp),      # sigma (3,smax,B)-> (78, B)
+    }
+
+
+def encode_pm(data_pm, k: int):
+    """(3, k, B) data digits -> (3, 26, B) codeword digits (one MXU dot)."""
+    M = _matrices_pm(k)
+    B_ = data_pm.shape[-1]
+    return gf27.mod3_dot_pm(M["G2"], data_pm).reshape(3, N, B_)
+
+
+def encode_pm_blocks(data_bk, k: int):
+    """(3, B, k) data digits -> (3, B, 26) codewords.
+
+    Contracts the (digit, coeff) coordinates of the block-minor layout
+    directly (lax.dot_general dims ((1,2),(0,2))) -- no input transpose;
+    the single output transpose lands in a well-tiled (B, 26) shape."""
+    M = _matrices_pm(k)
+    y = lax.dot_general(jnp.asarray(M["G2"], dtype=jnp.int8),
+                        data_bk.astype(jnp.int8),
+                        (((1, 2), (0, 2)), ((), ())),
+                        preferred_element_type=jnp.int32)      # (78, B)
+    y = fmod3(y.astype(jnp.float32)).astype(jnp.int8)
+    B_ = data_bk.shape[1]
+    return y.reshape(3, N, B_).transpose(0, 2, 1)
+
+
+def syndromes_pm(recv_pm, k: int):
+    """(3, 26, B) received digits -> (3, r, B) syndrome digits."""
+    M = _matrices_pm(k)
+    B_ = recv_pm.shape[-1]
+    return gf27.mod3_dot_pm(M["S2"], recv_pm).reshape(3, M["r"], B_)
+
+
+def _correct_pm(recv_pm, S_pm, k: int):
+    """BM + Chien + Forney in plane-major layout.
+
+    recv_pm (3, 26, B), S_pm (3, r, B) -> (data (3, k, B), ok (B,)).
+    Same algebra as _correct_dig; layouts keep the block axis on the TPU
+    lane dimension end to end."""
+    M = _matrices_pm(k)
+    r, smax = M["r"], M["smax"]
+    t = r // 2
+    B_ = recv_pm.shape[-1]
+    synd_zero = jnp.all(S_pm.reshape(3 * r, B_) == 0, axis=0)
+
+    S3d = S_pm.transpose(1, 0, 2)                          # (r, 3, B) small
+    sigma, L = _bm_core(S3d, r, smax)                      # (smax, 3, B)
+    sigma_pm = sigma.transpose(1, 0, 2)                    # (3, smax, B)
+
+    ev = gf27.mod3_dot_pm(M["CH2"], sigma_pm).reshape(3, N, B_)
+    root = jnp.sum(ev, axis=0) == 0                        # (26, B)
+    nroots = jnp.sum(root, axis=0)                         # (B,)
+
+    # Omega = S(x) sigma(x) mod x^r in (coeff, digit, B) layout
+    def m3(a, b):
+        a0, a1, a2 = a[..., 0, :], a[..., 1, :], a[..., 2, :]
+        b0, b1, b2 = b[..., 0, :], b[..., 1, :], b[..., 2, :]
+        r0 = a0 * b0
+        r1 = a0 * b1 + a1 * b0
+        r2 = a0 * b2 + a1 * b1 + a2 * b0
+        r3 = a1 * b2 + a2 * b1
+        r4 = a2 * b2
+        return jnp.stack([_m3i(r0 + 2 * r3), _m3i(r1 + r3 + 2 * r4),
+                          _m3i(r2 + r4)], axis=-2)
+
+    om_rows = []
+    for j in range(r):
+        i0 = max(0, j - smax + 1)
+        terms = m3(S3d[i0:j + 1], sigma[j - i0::-1][:j + 1 - i0])
+        om_rows.append(fmod3(jnp.sum(terms, axis=0, dtype=jnp.int32)
+                             .astype(jnp.float32)).astype(jnp.int8))
+    Om_pm = jnp.stack(om_rows, axis=0).transpose(1, 0, 2)  # (3, r, B)
+
+    num = gf27.mod3_dot_pm(M["OM2"], Om_pm).reshape(3, N, B_)
+    den = gf27.mod3_dot_pm(M["SP2"], sigma_pm).reshape(3, N, B_)
+    Y = _m3i(-gf27.mul_pm(num, gf27.inv_pm(den)))
+    corr = jnp.where(root[None], _m3i(-Y), jnp.int8(0))
+    fixed = _m3i(recv_pm + corr)                           # (3, 26, B)
+
+    S2c = gf27.mod3_dot_pm(M["S2"], fixed)                 # (3r, B)
+    ok = jnp.all(S2c == 0, axis=0) & (nroots <= t) & (nroots == L)
+    ok = ok | synd_zero
+    fixed = jnp.where(synd_zero[None, None], recv_pm, fixed)
+    return fixed[:, :k], ok
+
+
+def decode_pm(recv_pm, k: int):
+    """Plane-major decode: (3, 26, B) -> ((3, k, B), ok (B,))."""
+    recv_pm = jnp.asarray(recv_pm)
+    return _correct_pm(recv_pm, syndromes_pm(recv_pm, k), k)
+
+
+def decode_paged_pm(recv_pm, k: int, page: int = 256,
+                    max_dirty_pages: int | None = None):
+    """Plane-major decode_dig_paged: correction chain only on dirty pages.
+
+    recv_pm (3, 26, B) -> ((3, k, B), ok (B,)); capacity semantics match
+    decode_dig_paged (overflow pages return uncorrected data + ok=False)."""
+    recv_pm = jnp.asarray(recv_pm)
+    M = _matrices_pm(k)
+    r = M["r"]
+    B = recv_pm.shape[-1]
+    npage = -(-B // page)
+    C = max_dirty_pages if max_dirty_pages is not None else max(8, npage // 8)
+    C = min(C, npage)
+    padB = npage * page - B
+    rd = jnp.pad(recv_pm, ((0, 0), (0, 0), (0, padB)))
+    S = syndromes_pm(rd, k)                                # (3, r, Bp)
+    dirty_blk = jnp.any(S.reshape(3 * r, npage * page) != 0, axis=0)
+    pdirty = jnp.any(dirty_blk.reshape(npage, page), axis=1)
+    pidx = jnp.sort(jnp.where(pdirty, jnp.arange(npage), npage))[:C]
+    valid = pidx < npage
+    psafe = jnp.where(valid, pidx, 0)
+    g_rd = rd.reshape(3, N, npage, page)[:, :, psafe] \
+        .reshape(3, N, C * page)
+    g_S = S.reshape(3, r, npage, page)[:, :, psafe].reshape(3, r, C * page)
+    d_g, ok_g = _correct_pm(g_rd, g_S, k)
+    tgt = jnp.where(valid, pidx, npage)
+    data = rd[:, :k].reshape(3, k, npage, page)
+    data = data.at[:, :, tgt].set(d_g.reshape(3, k, C, page), mode="drop")
+    ok = (~dirty_blk).reshape(npage, page)
+    ok = ok.at[tgt].set(ok_g.reshape(C, page), mode="drop")
+    return data.reshape(3, k, npage * page)[:, :, :B], ok.reshape(-1)[:B]
 
 
 # convenience jitted single-profile entry points -----------------------------

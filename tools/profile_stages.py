@@ -151,32 +151,45 @@ def main():
         f1, f2, f3 = (stream_of(s) for s in (to_cols, rs_stage, build_words))
         cols_l = [f1(x) for x in xs_l]
         report["enc_to_cols_s"] = timed(f1, xs_l)
+        report["enc_to_cols_cost"] = cost(f1, xs_l[0])
         encd_l = [f2(c) for c in cols_l]
         report["enc_rs_s"] = timed(f2, cols_l)
+        report["enc_rs_cost"] = cost(f2, cols_l[0])
         f3(encd_l[0])
         report["enc_build_words_s"] = timed(f3, encd_l)
+        report["enc_build_words_cost"] = cost(f3, encd_l[0])
         print("encode stages done", file=sys.stderr, flush=True)
 
     if args.decode_stages:
         from ternary_image_codec_tpu.ops import rs as RS
-        pre, post, meta = pipeline._decode_parts(dlay)
+        pre, post, meta, fmt = pipeline._decode_parts(dlay)
         body_l = [rebatch(p[:, pipeline.HEADER_WORDS:, :], n_sf)
                   for p in prof[:2]]
+        if fmt == "pm":
+            op = ((lambda c, kk: RS.decode_paged_pm(c, kk, page=32))
+                  if args.rs_mode == "paged" else RS.decode_pm)
+            axis = -1
+        else:
+            op = ((lambda c, kk: RS.decode_dig_paged(c, kk, page=32))
+                  if args.rs_mode == "paged" else RS.decode_dig)
+            axis = 0
 
         def rs_only(blks):
             dec = pipeline._grouped_rs(
                 [(i, blk, meta[i][2]) for i, blk in enumerate(blks)],
-                (lambda c, kk: RS.decode_dig_paged(c, kk, page=32))
-                if args.rs_mode == "paged" else RS.decode_dig)
+                op, axis=axis)
             return tuple(dec[i][0] for i in range(len(meta)))
 
         g1, g2, g3 = (stream_of(s) for s in (pre, rs_only, post))
         blk_l = [g1(b) for b in body_l]
         report["dec_pre_s"] = timed(g1, body_l)
+        report["dec_pre_cost"] = cost(g1, body_l[0])
         decd_l = [g2(b) for b in blk_l]
         report["dec_rs_s"] = timed(g2, blk_l)
+        report["dec_rs_cost"] = cost(g2, blk_l[0])
         g3(decd_l[0])
         report["dec_post_s"] = timed(g3, decd_l)
+        report["dec_post_cost"] = cost(g3, decd_l[0])
         print("decode stages done", file=sys.stderr, flush=True)
 
     report["enc_dec_fps"] = round(
