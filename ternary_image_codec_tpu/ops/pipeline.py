@@ -709,12 +709,30 @@ def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged"):
     # RS chain strategy (paged / full) is selected inside _decode_body_fn
     dec_body = jax.vmap(_decode_body_fn(dlayout, rs_mode))
 
+    # expected header payload (the reference decodes every superframe's
+    # header, old/.../v6_min.hpp:918-937; the stream decoder RS-decodes
+    # both RS(26,18) header blocks on device and requires the corrected
+    # payload to match the caller's config -- catching header corruption
+    # beyond t=4 errors AND config mismatch, instead of silently trusting
+    # the caller)
+    hdr_syms = header_mod.pack(sf_hdr)
+    expA = np.asarray(hdr_syms[:18], dtype=np.int8)
+    expB = np.concatenate([hdr_syms[18:27],
+                           np.zeros(9, dtype=np.int64)]).astype(np.int8)
+
     @jax.jit
     def dec_stream(words):  # (n_sf, total, 9) -> ((n_sf, out_words, 9), ok)
         n = words.shape[0]
         raw, ok = lax.map(dec_body, _rebatch(words[:, HEADER_WORDS:, :]))
         raw = raw.reshape(-1, dlayout.n_out_words, NUM_BANDS)[:n]
-        return raw, jnp.all(ok)
+        sy = words[:, :HEADER_WORDS, :].reshape(n, HEADER_WORDS * NUM_BANDS)
+        hdr_data, ok_h = rs.decode(
+            jnp.concatenate([sy[:, :26], sy[:, 26:52]], axis=0), 18)
+        exp = jnp.concatenate(
+            [jnp.broadcast_to(jnp.asarray(expA), (n, 18)),
+             jnp.broadcast_to(jnp.asarray(expB), (n, 18))], axis=0)
+        hdr_ok = jnp.all(ok_h) & jnp.all(hdr_data == exp)
+        return raw, jnp.all(ok) & hdr_ok
 
     return layout, dlayout, enc_stream, dec_stream
 

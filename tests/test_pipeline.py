@@ -228,3 +228,49 @@ class TestSuperframeStreaming:
                 corr[0, pipeline.HEADER_WORDS + row, 2] + 1 + row % 2) % 27
         out, ok = pipeline.decode_stream_superframes(corr, cfg, n_raw)
         assert not (bool(ok) and np.array_equal(np.asarray(out), raw))
+
+    def test_stream_header_corruption_semantics(self):
+        """Per-superframe header validation (reference decodes every
+        superframe header, old/.../v6_min.hpp:918-937): <= t=4 header
+        symbol errors are corrected (stream stays ok); > t clears ok."""
+        from ternary_image_codec_tpu.config import (EncoderConfig, ProfileID,
+                                                    uep_uniform)
+        cfg = EncoderConfig(profile=ProfileID.P1_RS26_24, uep=uep_uniform(0),
+                            superframe_words=32)
+        r = np.random.default_rng(12)
+        n_raw = 96
+        t = r.integers(0, 3, size=(n_raw, 27)).astype(np.int8)
+        t[:, 26] = 0
+        raw = (t.reshape(n_raw, 9, 3) * np.array([1, 3, 9])).sum(-1).astype(np.int8)
+        prof = np.asarray(pipeline.encode_stream_superframes(raw, cfg))
+        # 3 errors in superframe 1's header block A: corrected, still ok
+        corr = prof.copy()
+        for pos in (0, 1, 2):
+            corr[1, pos // 9, pos % 9] = (corr[1, pos // 9, pos % 9] + 1) % 27
+        out, ok = pipeline.decode_stream_superframes(corr, cfg, n_raw)
+        assert bool(ok) and np.array_equal(np.asarray(out), raw)
+        # 6 errors in one header block: uncorrectable or miscorrected ->
+        # either way the decoded header cannot match the config -> not ok
+        corr2 = prof.copy()
+        for pos in range(6):
+            corr2[0, pos // 9, pos % 9] = (corr2[0, pos // 9, pos % 9] + 1 + pos % 2) % 27
+        _out2, ok2 = pipeline.decode_stream_superframes(corr2, cfg, n_raw)
+        assert not bool(ok2)
+
+    def test_stream_wrong_config_flags(self):
+        """Decoding a stream with a mismatched config must clear ok (the
+        embedded headers don't match), not silently return garbage."""
+        from ternary_image_codec_tpu.config import (EncoderConfig, ProfileID,
+                                                    uep_uniform)
+        cfg1 = EncoderConfig(profile=ProfileID.P1_RS26_24, uep=uep_uniform(0),
+                             superframe_words=32)
+        cfg2 = EncoderConfig(profile=ProfileID.P2_RS26_22, uep=uep_uniform(1),
+                             superframe_words=32)
+        r = np.random.default_rng(13)
+        n_raw = 64
+        t = r.integers(0, 3, size=(n_raw, 27)).astype(np.int8)
+        t[:, 26] = 0
+        raw = (t.reshape(n_raw, 9, 3) * np.array([1, 3, 9])).sum(-1).astype(np.int8)
+        prof = np.asarray(pipeline.encode_stream_superframes(raw, cfg1))
+        _out, ok = pipeline.decode_stream_superframes(prof, cfg2, n_raw)
+        assert not bool(ok)
