@@ -548,9 +548,10 @@ def _decode_parts_pm(layout: DecodeLayout):
                 rows = _beacon_payload_rows(geom.usable[b],
                                             beacon.words_period)
                 band = band[:, rows]
-            outs.append(band[:, :nblk * rs.N]
-                        .reshape(3, nblk, rs.N).transpose(0, 2, 1))
-        return tuple(outs)                               # (3, 26, nblk)
+            # block-minor layout: NO transpose (the rs *_pm_bk entry
+            # points contract (digit, coeff) in place via dot_general)
+            outs.append(band[:, :nblk * rs.N].reshape(3, nblk, rs.N))
+        return tuple(outs)                               # (3, nblk, 26)
 
     def post(decoded):
         streams, i = [], 0
@@ -558,9 +559,9 @@ def _decode_parts_pm(layout: DecodeLayout):
             if geom.blocks[b] == 0:
                 streams.append(jnp.zeros((3, max_d), dtype=jnp.int8))
                 continue
-            d = decoded[i]                               # (3, k, nblk)
+            d = decoded[i]                               # (3, nblk, k)
             i += 1
-            s = d.transpose(0, 2, 1).reshape(3, -1)      # (3, dlens[b])
+            s = d.reshape(3, -1)                         # (3, dlens[b])
             streams.append(jnp.pad(s, ((0, 0), (0, max_d - dlens[b]))))
         M27 = jnp.concatenate(streams, axis=0)           # (27, max_d)
         # trit 27j + 3b + d is digit d of out-stream symbol 9j + b: the
@@ -646,9 +647,9 @@ def _decode_body_fn(layout: DecodeLayout, rs_mode: str = "paged"):
     """
     pre, post, meta, fmt = _decode_parts(layout)
     if fmt == "pm":
-        op = ((lambda c, k: rs.decode_paged_pm(c, k, page=32))
-              if rs_mode == "paged" else rs.decode_pm)
-        axis = -1
+        op = ((lambda c, k: rs.decode_paged_pm_bk(c, k, page=32))
+              if rs_mode == "paged" else rs.decode_pm_bk)
+        axis = 1
     else:
         op = ((lambda c, k: rs.decode_dig_paged(c, k, page=32))
               if rs_mode == "paged" else rs.decode_dig)
@@ -715,10 +716,13 @@ def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged"):
     # payload to match the caller's config -- catching header corruption
     # beyond t=4 errors AND config mismatch, instead of silently trusting
     # the caller)
+    from .gf27 import np_sym_to_dig
     hdr_syms = header_mod.pack(sf_hdr)
-    expA = np.asarray(hdr_syms[:18], dtype=np.int8)
-    expB = np.concatenate([hdr_syms[18:27],
-                           np.zeros(9, dtype=np.int64)]).astype(np.int8)
+    expA = np.asarray(hdr_syms[:18], dtype=np.int64)
+    expB = np.concatenate([hdr_syms[18:27], np.zeros(9, dtype=np.int64)])
+    # expected data digits, plane-major (3, 2 blocks, 18)
+    exp_pm = np.stack([np_sym_to_dig(expA).T, np_sym_to_dig(expB).T],
+                      axis=1).astype(np.int8)
 
     @jax.jit
     def dec_stream(words):  # (n_sf, total, 9) -> ((n_sf, out_words, 9), ok)
@@ -726,12 +730,17 @@ def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged"):
         raw, ok = lax.map(dec_body, _rebatch(words[:, HEADER_WORDS:, :]))
         raw = raw.reshape(-1, dlayout.n_out_words, NUM_BANDS)[:n]
         sy = words[:, :HEADER_WORDS, :].reshape(n, HEADER_WORDS * NUM_BANDS)
-        hdr_data, ok_h = rs.decode(
-            jnp.concatenate([sy[:, :26], sy[:, 26:52]], axis=0), 18)
-        exp = jnp.concatenate(
-            [jnp.broadcast_to(jnp.asarray(expA), (n, 18)),
-             jnp.broadcast_to(jnp.asarray(expB), (n, 18))], axis=0)
-        hdr_ok = jnp.all(ok_h) & jnp.all(hdr_data == exp)
+        blocks = jnp.concatenate([sy[:, :26], sy[:, 26:52]], axis=0) \
+            .astype(jnp.float32)                    # (2n, 26)
+        q1 = jnp.floor(blocks * (1.0 / 3.0))
+        q2 = jnp.floor(blocks * (1.0 / 9.0))
+        dig = jnp.stack([blocks - 3.0 * q1, q1 - 3.0 * q2,
+                         q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0))],
+                        axis=0).astype(jnp.int8)    # (3, 2n, 26)
+        hdr_dig, ok_h = rs.decode_pm_bk(dig, 18)    # (3, 2n, 18)
+        exp = jnp.broadcast_to(jnp.asarray(exp_pm)[:, :, None, :],
+                               (3, 2, n, 18)).reshape(3, 2 * n, 18)
+        hdr_ok = jnp.all(ok_h) & jnp.all(hdr_dig == exp)
         return raw, jnp.all(ok) & hdr_ok
 
     return layout, dlayout, enc_stream, dec_stream

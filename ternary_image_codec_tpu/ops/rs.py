@@ -505,6 +505,71 @@ def decode_pm(recv_pm, k: int):
     return _correct_pm(recv_pm, syndromes_pm(recv_pm, k), k)
 
 
+def decode_pm_bk(recv_bk, k: int):
+    """Full-chain decode for block-minor layout: (3, B, 26) -> ((3, B, k),
+    ok (B,)).  One transpose into the chain layout and one back; prefer
+    decode_paged_pm_bk, which transposes only the dirty pages."""
+    recv_bk = jnp.asarray(recv_bk)
+    d, ok = _correct_pm(recv_bk.transpose(0, 2, 1),
+                        syndromes_pm_bk(recv_bk, k), k)
+    return d.transpose(0, 2, 1), ok
+
+
+def syndromes_pm_bk(recv_bk, k: int):
+    """(3, B, 26) received digits -> (3, r, B) syndromes (no transpose:
+    lax.dot_general contracts the (digit, coeff) coordinates in place)."""
+    M = _matrices_pm(k)
+    B_ = recv_bk.shape[1]
+    y = lax.dot_general(jnp.asarray(M["S2"], dtype=jnp.int8),
+                        recv_bk.astype(jnp.int8),
+                        (((1, 2), (0, 2)), ((), ())),
+                        preferred_element_type=jnp.int32)      # (3r, B)
+    return fmod3(y.astype(jnp.float32)).astype(jnp.int8) \
+        .reshape(3, M["r"], B_)
+
+
+def decode_paged_pm_bk(recv_bk, k: int, page: int = 256,
+                       max_dirty_pages: int | None = None):
+    """Page-compacted decode for the block-minor (3, B, 26) layout.
+
+    The big-B work is ONE dot_general (syndromes) and the data slice — no
+    full-size transposes or scatters.  Only the <= C gathered dirty pages
+    enter the (3, 26, b) correction-chain layout; the merge back is a
+    gather + where (TPU scatters lower poorly; a slot-gather doesn't).
+    Capacity semantics match decode_dig_paged."""
+    recv_bk = jnp.asarray(recv_bk)
+    M = _matrices_pm(k)
+    r = M["r"]
+    B = recv_bk.shape[1]
+    npage = -(-B // page)
+    C = max_dirty_pages if max_dirty_pages is not None else max(8, npage // 8)
+    C = min(C, npage)
+    padB = npage * page - B
+    rd = jnp.pad(recv_bk, ((0, 0), (0, padB), (0, 0)))
+    S = syndromes_pm_bk(rd, k).reshape(3 * r, npage * page)
+    dirty_blk = jnp.any(S != 0, axis=0)                     # (Bp,)
+    pdirty = jnp.any(dirty_blk.reshape(npage, page), axis=1)
+    pidx = jnp.sort(jnp.where(pdirty, jnp.arange(npage), npage))[:C]
+    valid = pidx < npage
+    psafe = jnp.where(valid, pidx, 0)
+    g_rd = rd.reshape(3, npage, page, N)[:, psafe] \
+        .reshape(3, C * page, N).transpose(0, 2, 1)         # (3, 26, Cp)
+    g_S = S.reshape(3, r, npage, page)[:, :, psafe].reshape(3, r, C * page)
+    d_g, ok_g = _correct_pm(g_rd, g_S, k)                   # (3, k, Cp)
+    # slot-gather merge: page p takes corrected slot rank(p) when gathered
+    rank = jnp.cumsum(pdirty.astype(jnp.int32)) - 1         # (npage,)
+    slot = jnp.clip(rank, 0, C - 1)
+    use_corr = pdirty & (rank < C)
+    corr_pages = d_g.reshape(3, k, C, page).transpose(0, 2, 3, 1)[:, slot]
+    orig = rd[:, :, :k].reshape(3, npage, page, k)
+    data = jnp.where(use_corr[None, :, None, None], corr_pages, orig)
+    ok_pages = ok_g.reshape(C, page)[slot]                  # (npage, page)
+    ok = jnp.where(use_corr[:, None], ok_pages,
+                   (~dirty_blk).reshape(npage, page))
+    return (data.reshape(3, npage * page, k)[:, :B],
+            ok.reshape(-1)[:B])
+
+
 def decode_paged_pm(recv_pm, k: int, page: int = 256,
                     max_dirty_pages: int | None = None):
     """Plane-major decode_dig_paged: correction chain only on dirty pages.
