@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--decode-stages", action="store_true",
                     help="time decode sub-stages (pre / rs / post) as "
                          "separate jits")
+    ap.add_argument("--decode-cumulative", action="store_true",
+                    help="time FUSED cumulative decode prefixes (pre, "
+                         "pre+syndromes, pre+rs, full) -- marginal costs "
+                         "without stage-boundary materialization")
     args = ap.parse_args()
 
     import jax
@@ -191,6 +195,53 @@ def main():
         report["dec_post_s"] = timed(g3, decd_l)
         report["dec_post_cost"] = cost(g3, decd_l[0])
         print("decode stages done", file=sys.stderr, flush=True)
+
+    if args.decode_cumulative:
+        from ternary_image_codec_tpu.ops import rs as RS
+        pre, post, meta, fmt = pipeline._decode_parts(dlay)
+        assert fmt == "pm"
+        body_l = [rebatch(p[:, pipeline.HEADER_WORDS:, :], n_sf)
+                  for p in prof[:2]]
+
+        def upto_pre(b):
+            blks = pre(b)
+            return sum(jnp.sum(x.astype(jnp.int32)) for x in blks)
+
+        def upto_synd(b):
+            blks = pre(b)
+            acc = jnp.int32(0)
+            for i, blk in enumerate(blks):
+                acc += jnp.sum(RS.syndromes_pm_bk(blk, meta[i][2])
+                               .astype(jnp.int32))
+            return acc
+
+        def upto_rs(b):
+            blks = pre(b)
+            dec = pipeline._grouped_rs(
+                [(i, blk, meta[i][2]) for i, blk in enumerate(blks)],
+                lambda c, kk: RS.decode_paged_pm_bk(c, kk, page=32), axis=1)
+            return sum(jnp.sum(dec[i][0].astype(jnp.int32))
+                       for i in range(len(meta)))
+
+        def upto_full(b):
+            blks = pre(b)
+            dec = pipeline._grouped_rs(
+                [(i, blk, meta[i][2]) for i, blk in enumerate(blks)],
+                lambda c, kk: RS.decode_paged_pm_bk(c, kk, page=32), axis=1)
+            out = post(tuple(dec[i][0] for i in range(len(meta))))
+            return jnp.sum(out.astype(jnp.int32))
+
+        for name, fn in (("cum_pre", upto_pre), ("cum_synd", upto_synd),
+                         ("cum_rs", upto_rs), ("cum_full", upto_full)):
+            g = jax.jit(lambda x, f=fn: lax.map(jax.vmap(f), x).sum())
+            g(body_l[0])
+            best = float("inf")
+            for v in body_l * ((args.iters + 1) // 2):
+                t0 = time.perf_counter()
+                _ = int(g(v))
+                best = min(best, time.perf_counter() - t0)
+            report[f"{name}_s"] = round(best, 5)
+            print(f"{name}={best:.4f}", file=sys.stderr, flush=True)
 
     report["enc_dec_fps"] = round(
         1.0 / (report["encode_s"] + report["decode_clean_s"]), 3)
