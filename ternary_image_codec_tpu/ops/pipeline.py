@@ -647,8 +647,25 @@ def _decode_body_fn(layout: DecodeLayout, rs_mode: str = "paged"):
     """
     pre, post, meta, fmt = _decode_parts(layout)
     if fmt == "pm":
-        op = ((lambda c, k: rs.decode_paged_pm_bk(c, k, page=32))
-              if rs_mode == "paged" else rs.decode_pm_bk)
+        # Paged correction with C=4 dirty pages (~10-25 blocks each) per
+        # band-group per superframe: scattered errors hit few pages; >4
+        # dirty pages in one group flags ok=False (fail-safe) --
+        # rs_mode="full" decodes such streams.  The RS stage returns a
+        # sparse DELTA and the data add fuses into post's read (the
+        # full-size merge passes were the measured decode cost); the page
+        # size is a static divisor of the group's block count, so no pad
+        # copy either.
+        def _paged(c, k):
+            from .gf27 import _m3i
+            page = rs.pick_page(c.shape[1])
+            if page is None:
+                return rs.decode_paged_pm_bk(c, k, page=16,
+                                             max_dirty_pages=4)
+            delta, ok = rs.decode_delta_pm_bk(c, k, page,
+                                              max_dirty_pages=4)
+            return _m3i(c[:, :, :k] + delta), ok
+
+        op = _paged if rs_mode == "paged" else rs.decode_pm_bk
         axis = 1
     else:
         op = ((lambda c, k: rs.decode_dig_paged(c, k, page=32))
@@ -737,7 +754,8 @@ def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged"):
         dig = jnp.stack([blocks - 3.0 * q1, q1 - 3.0 * q2,
                          q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0))],
                         axis=0).astype(jnp.int8)    # (3, 2n, 26)
-        hdr_dig, ok_h = rs.decode_pm_bk(dig, 18)    # (3, 2n, 18)
+        # paged: intact headers skip the r=8 chain almost entirely
+        hdr_dig, ok_h = rs.decode_paged_pm_bk(dig, 18, page=64)
         exp = jnp.broadcast_to(jnp.asarray(exp_pm)[:, :, None, :],
                                (3, 2, n, 18)).reshape(3, 2 * n, 18)
         hdr_ok = jnp.all(ok_h) & jnp.all(hdr_dig == exp)

@@ -528,6 +528,54 @@ def syndromes_pm_bk(recv_bk, k: int):
         .reshape(3, M["r"], B_)
 
 
+def decode_delta_pm_bk(recv_bk, k: int, page: int,
+                       max_dirty_pages: int = 4):
+    """Paged decode returning a sparse CORRECTION instead of the data.
+
+    recv_bk (3, B, 26) with page | B (callers pick a static divisor of the
+    group's block count, killing the pad copy) -> (delta (3, B, k),
+    ok (B,)), where corrected_data = (recv_data + delta) mod 3.  Returning
+    the delta lets the caller fuse the final add into its next read of the
+    data stream -- the full-size orig/where merge passes of
+    decode_paged_pm_bk disappear.  Capacity semantics unchanged."""
+    recv_bk = jnp.asarray(recv_bk)
+    M = _matrices_pm(k)
+    r = M["r"]
+    B = recv_bk.shape[1]
+    assert B % page == 0, "page must divide the block count"
+    npage = B // page
+    C = min(max_dirty_pages, npage)
+    S = syndromes_pm_bk(recv_bk, k).reshape(3 * r, B)
+    dirty_blk = jnp.any(S != 0, axis=0)
+    pdirty = jnp.any(dirty_blk.reshape(npage, page), axis=1)
+    pidx = jnp.sort(jnp.where(pdirty, jnp.arange(npage), npage))[:C]
+    valid = pidx < npage
+    psafe = jnp.where(valid, pidx, 0)
+    g_rd = recv_bk.reshape(3, npage, page, N)[:, psafe] \
+        .reshape(3, C * page, N).transpose(0, 2, 1)         # (3, 26, Cp)
+    g_S = S.reshape(3, r, npage, page)[:, :, psafe].reshape(3, r, C * page)
+    d_g, ok_g = _correct_pm(g_rd, g_S, k)                   # (3, k, Cp)
+    delta_g = _m3i(d_g - g_rd[:, :k])                       # (3, k, Cp)
+    rank = jnp.cumsum(pdirty.astype(jnp.int32)) - 1
+    slot = jnp.clip(rank, 0, C - 1)
+    use_corr = pdirty & (rank < C)
+    delta = jnp.where(
+        use_corr[None, :, None, None],
+        delta_g.reshape(3, k, C, page).transpose(0, 2, 3, 1)[:, slot],
+        jnp.int8(0)).reshape(3, B, k)
+    ok_pages = ok_g.reshape(C, page)[slot]
+    ok = jnp.where(use_corr[:, None], ok_pages,
+                   (~dirty_blk).reshape(npage, page)).reshape(-1)
+    return delta, ok
+
+
+def pick_page(nblk: int, lo: int = 8, hi: int = 64, target: int = 24):
+    """Largest-preference divisor of nblk in [lo, hi] nearest `target`;
+    None when nblk has no such divisor (callers fall back to padding)."""
+    cands = [d for d in range(lo, hi + 1) if nblk % d == 0]
+    return min(cands, key=lambda d: abs(d - target)) if cands else None
+
+
 def decode_paged_pm_bk(recv_bk, k: int, page: int = 256,
                        max_dirty_pages: int | None = None):
     """Page-compacted decode for the block-minor (3, B, 26) layout.

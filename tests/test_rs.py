@@ -213,3 +213,51 @@ class TestDecodePaged:
         others = np.arange(128) != 10
         assert ok[others].all()
         assert np.array_equal(np.asarray(d)[others], data[others])
+
+
+class TestDecodeDelta:
+    """decode_delta_pm_bk: sparse-correction API (pipeline hot path)."""
+
+    def test_delta_matches_paged(self):
+        k = 22
+        r0 = np.random.default_rng(8)
+        data = r0.integers(0, 3, size=(3, 18 * 20, k)).astype(np.int8)
+        cw = np.asarray(rs.encode_pm_blocks(jnp.asarray(data), k))
+        bad = cw.copy()
+        for b in (5, 100, 250):
+            bad[:, b, 7] = (bad[:, b, 7] + 1) % 3
+        delta, ok = rs.decode_delta_pm_bk(jnp.asarray(bad), k, page=18)
+        got = (np.asarray(bad)[:, :, :k] + np.asarray(delta)) % 3
+        assert np.array_equal(got, data)
+        assert bool(jnp.all(ok))
+        # clean input -> all-zero delta
+        d2, ok2 = rs.decode_delta_pm_bk(jnp.asarray(cw), k, page=18)
+        assert not np.any(np.asarray(d2)) and bool(jnp.all(ok2))
+
+    def test_delta_capacity_overflow_flags(self):
+        k = 24
+        r0 = np.random.default_rng(9)
+        data = r0.integers(0, 3, size=(3, 16 * 12, k)).astype(np.int8)
+        cw = np.asarray(rs.encode_pm_blocks(jnp.asarray(data), k))
+        bad = cw.copy()
+        dirty = [i * 16 for i in range(8)]  # 8 dirty pages, C=4
+        for b in dirty:
+            bad[0, b, 2] = (bad[0, b, 2] + 1) % 3
+        delta, ok = rs.decode_delta_pm_bk(jnp.asarray(bad), k, page=16,
+                                          max_dirty_pages=4)
+        ok = np.asarray(ok)
+        assert sum(bool(ok[b]) for b in dirty) == 4
+        got = (np.asarray(bad)[:, :, :k] + np.asarray(delta)) % 3
+        for b in dirty:
+            if ok[b]:
+                assert np.array_equal(got[:, b], data[:, b])
+        clean = np.ones(len(ok), dtype=bool)
+        clean[dirty] = False
+        assert ok[clean].all()
+        assert np.array_equal(got[:, clean], data[:, clean])
+
+    def test_pick_page(self):
+        assert rs.pick_page(1818) == 18
+        assert rs.pick_page(909) == 9
+        assert 8 <= rs.pick_page(64 * 7) <= 64
+        assert rs.pick_page(101) is None  # prime beyond range
