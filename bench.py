@@ -57,10 +57,11 @@ def main():
         # (plain block_until_ready is unreliable over the remote tunnel)
         return out, ok, jnp.sum(out.astype(jnp.int32))
 
-    # warmup / compile + correctness check
+    # warmup / compile + correctness check (decoder output is wire-planes
+    # (n_sf, 9, out_words) -- the device hot path never stores word-major)
     out, ok, _chk = step(chunks)
     assert bool(ok), "roundtrip failed"
-    got = np.asarray(out[:, :sf, :]).reshape(-1, 9)[:16]
+    got = np.asarray(out[:, :, :sf]).transpose(0, 2, 1).reshape(-1, 9)[:16]
     assert np.array_equal(got, np.asarray(raw[:16]))
 
     # distinct input per iteration: defeats any remote result caching

@@ -246,11 +246,14 @@ def _encode_parts(layout: EncodeLayout):
     Dispatches to the plane-major implementation (digit axis leading, word
     axis minor -- measured ~16x cheaper HBM tiling, tools/hbm_probe.py);
     the P5 2D-interleave profile keeps the coeff-minor path (its symbol
-    permutation is written against the (n, 3) stream layout)."""
+    permutation is written against the (n, 3) stream layout).
+
+    Returns (to_cols, rs_stage, build_words, fmt): fmt "pm" build_words
+    emits wire-planes (9, total_words); fmt "cm" emits (total_words, 9)."""
     if (layout.cfg.profile == ProfileID.P5_RS26_22_2D
             and layout.cfg.tile.w and layout.cfg.tile.h):
-        return _encode_parts_cm(layout)
-    return _encode_parts_pm(layout)
+        return _encode_parts_cm(layout) + ("cm",)
+    return _encode_parts_pm(layout) + ("pm",)
 
 
 @functools.cache
@@ -372,11 +375,14 @@ def _encode_parts_pm(layout: EncodeLayout):
         s = raw_words.astype(jnp.float32)
         q1 = jnp.floor(s * (1.0 / 3.0))
         q2 = jnp.floor(s * (1.0 / 9.0))
+        # int8 BEFORE the reshape/pad/transpose chain (f32 across those
+        # materialization points was 4x the HBM bytes)
         t27 = jnp.stack([s - 3.0 * q1, q1 - 3.0 * q2,
-                         q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0))], axis=-1)
+                         q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0))],
+                        axis=-1).astype(jnp.int8)
         flat = t27.reshape(-1, 27)[:, :26].reshape(-1)
         flat = jnp.pad(flat, (0, 27 * max_need - flat.shape[0]))
-        return flat.reshape(max_need, 27).T.astype(jnp.int8)   # (27, m)
+        return flat.reshape(max_need, 27).T                    # (27, m)
 
     def rs_stage(cols):
         items = [(b,
@@ -419,19 +425,28 @@ def _encode_parts_pm(layout: EncodeLayout):
             is_b = r % max(beacon.words_period, 1) == 0
             scr = jnp.where(jnp.asarray(row_hot)[:, None] & is_b[None, :],
                             grid, scr)
-        body = (scr[0::3] + 3 * scr[1::3] + 9 * scr[2::3]).T  # (H, 9)
+        # wire-planes layout (9, total): the word axis stays minor -- a
+        # (total, 9) write pads 9 -> 128 lanes (14x HBM bytes)
+        body_T = scr[0::3] + 3 * scr[1::3] + 9 * scr[2::3]    # (9, H)
         return jnp.concatenate(
-            [jnp.asarray(layout.header_words, dtype=jnp.int8), body], axis=0)
+            [jnp.asarray(layout.header_words.T, dtype=jnp.int8), body_T],
+            axis=1)                                           # (9, total)
 
     return to_cols, rs_stage, build_words
 
 
 @functools.cache
-def _encode_fn(layout: EncodeLayout):
-    to_cols, rs_stage, build_words = _encode_parts(layout)
+def _encode_fn(layout: EncodeLayout, wire: str = "words"):
+    """Jitted single-superframe encode.  wire="words": (n, 9) -> (total, 9)
+    (the public contract); wire="planes": -> (9, total) with no final
+    transpose (the streaming hot path)."""
+    to_cols, rs_stage, build_words, fmt = _encode_parts(layout)
 
     def fn(raw_words):
-        return build_words(rs_stage(to_cols(raw_words)))
+        out = build_words(rs_stage(to_cols(raw_words)))
+        if (fmt == "pm") != (wire == "planes"):
+            out = out.T
+        return out
 
     return jax.jit(fn)
 
@@ -531,16 +546,21 @@ def _decode_parts_pm(layout: DecodeLayout):
     meta = tuple((b, geom.blocks[b], geom.ks[b])
                  for b in range(NUM_BANDS) if geom.blocks[b])
 
-    def pre(body_words):
-        wT = body_words.T.astype(jnp.float32)            # (9, H)
+    def pre(body_T):
+        # wire-planes input (9, H): no transpose, no padded-lane read.
+        # Descramble happens per digit plane BEFORE the stack, so every
+        # materialized tensor is int8 (an f32 (27, H) intermediate across
+        # the stack/reshape boundary was 4x the HBM bytes).
+        wT = body_T.astype(jnp.float32)                  # (9, H)
         q1 = jnp.floor(wT * (1.0 / 3.0))
         q2 = jnp.floor(wT * (1.0 / 9.0))
-        grid = jnp.stack(
-            [wT - 3.0 * q1, q1 - 3.0 * q2,
-             q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0))], axis=1
+        planes = (wT - 3.0 * q1, q1 - 3.0 * q2,
+                  q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0)))
+        off = _pm_offsets(geom.H, hdr.seed, -1.0)        # (27, H) rows 3b+d
+        dig = jnp.stack(
+            [fmod3(p + off[d::3] + 3.0).astype(jnp.int8)
+             for d, p in enumerate(planes)], axis=1
         ).reshape(27, geom.H)                            # rows 3b + d
-        off = _pm_offsets(geom.H, hdr.seed, -1.0)
-        dig = fmod3(grid + off + 3.0).astype(jnp.int8)
         outs = []
         for b, nblk, _k in meta:
             band = dig[3 * b:3 * b + 3]                  # (3, H)
@@ -568,10 +588,16 @@ def _decode_parts_pm(layout: DecodeLayout):
         # round-robin merge is ONE transpose + flat regroup to 26/word
         flat = M27.T.reshape(-1)
         t = flat[:layout.n_out_words * 26].reshape(layout.n_out_words, 26)
-        t = jnp.concatenate(
-            [t, jnp.zeros((layout.n_out_words, 1), dtype=t.dtype)], axis=-1)
-        return (t[:, 0::3] + 3 * t[:, 1::3] + 9 * t[:, 2::3]) \
-            .astype(jnp.int8)                            # (n_out, 9)
+        # words in wire-planes (9, n_out): one MXU contraction with the
+        # static trit->symbol matrix (P26[j, b] = 3^(j%3) iff j//3 == b;
+        # word symbol 8 gets only trits 24,25 -- the 27th trit is 0)
+        P26 = np.zeros((26, NUM_BANDS), dtype=np.int8)
+        for j in range(26):
+            P26[j, j // 3] = 3 ** (j % 3)
+        wT = lax.dot_general(jnp.asarray(P26), t.astype(jnp.int8),
+                             (((0,), (1,)), ((), ())),
+                             preferred_element_type=jnp.int32)
+        return wT.astype(jnp.int8)                       # (9, n_out)
 
     return pre, post, meta, "pm"
 
@@ -631,8 +657,13 @@ def _decode_parts_cm(layout: DecodeLayout):
 
 
 @functools.cache
-def _decode_body_fn(layout: DecodeLayout, rs_mode: str = "paged"):
+def _decode_body_fn(layout: DecodeLayout, rs_mode: str = "paged",
+                    wire: str = "words"):
     """Single-superframe body decode (vmap-safe).
+
+    wire="words": body (H, 9) -> out (n_out, 9) (public contract);
+    wire="planes": body (9, H) -> out (9, n_out) (streaming hot path --
+    no boundary transposes, no 9-lane padded reads/writes).
 
     rs_mode="paged" (default): rs.decode_dig_paged — the BM/Chien/Forney
     chain runs only on dirty 32-block pages (a few per superframe even
@@ -667,20 +698,27 @@ def _decode_body_fn(layout: DecodeLayout, rs_mode: str = "paged"):
 
         op = _paged if rs_mode == "paged" else rs.decode_pm_bk
         axis = 1
+        pre_planes, post_planes = True, True
     else:
         op = ((lambda c, k: rs.decode_dig_paged(c, k, page=32))
               if rs_mode == "paged" else rs.decode_dig)
         axis = 0
+        pre_planes, post_planes = False, False
 
-    def fn(body_words):
-        blocks = pre(body_words)
+    def fn(body):
+        if (wire == "planes") != pre_planes:
+            body = body.T
+        blocks = pre(body)
         dec = _grouped_rs(
             [(i, blk, meta[i][2]) for i, blk in enumerate(blocks)], op,
             axis=axis)
         decoded = tuple(dec[i][0] for i in range(len(meta)))
         oks = [dec[i][1] for i in range(len(meta))]
         ok_all = jnp.all(jnp.concatenate(oks)) if oks else jnp.asarray(True)
-        return post(decoded), ok_all
+        out = post(decoded)
+        if (wire == "planes") != post_planes:
+            out = out.T
+        return out, ok_all
 
     return jax.jit(fn)
 
@@ -700,7 +738,7 @@ def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged"):
     if rs_mode == "legacy":    # historical alias (pre-paged full chain)
         rs_mode = "full"
     layout = build_encode_layout(cfg, cfg.superframe_words)
-    enc_one = _encode_fn(layout)
+    enc_one = _encode_fn(layout, wire="planes")
     sf_hdr = SuperframeHeader(
         profile=cfg.profile, uep=cfg.uep, tile=cfg.tile, seed=cfg.seed,
         beacon=cfg.beacon, subword=cfg.subword, centered=cfg.centered,
@@ -718,14 +756,14 @@ def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged"):
         return x.reshape(nb, sf_batch, *x.shape[1:])
 
     @jax.jit
-    def enc_stream(chunks):  # (n_sf, sf_words, 9) -> (n_sf, total, 9)
+    def enc_stream(chunks):  # (n_sf, sf_words, 9) -> (n_sf, 9, total)
         n = chunks.shape[0]
         out = lax.map(jax.vmap(enc_one), _rebatch(chunks))
-        return out.reshape(-1, layout.total_words, NUM_BANDS)[:n]
+        return out.reshape(-1, NUM_BANDS, layout.total_words)[:n]
 
     # per-superframe decode under vmap (measured fastest structure); the
     # RS chain strategy (paged / full) is selected inside _decode_body_fn
-    dec_body = jax.vmap(_decode_body_fn(dlayout, rs_mode))
+    dec_body = jax.vmap(_decode_body_fn(dlayout, rs_mode, wire="planes"))
 
     # expected header payload (the reference decodes every superframe's
     # header, old/.../v6_min.hpp:918-937; the stream decoder RS-decodes
@@ -742,11 +780,13 @@ def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged"):
                       axis=1).astype(np.int8)
 
     @jax.jit
-    def dec_stream(words):  # (n_sf, total, 9) -> ((n_sf, out_words, 9), ok)
+    def dec_stream(words):  # (n_sf, 9, total) -> ((n_sf, 9, out_words), ok)
         n = words.shape[0]
-        raw, ok = lax.map(dec_body, _rebatch(words[:, HEADER_WORDS:, :]))
-        raw = raw.reshape(-1, dlayout.n_out_words, NUM_BANDS)[:n]
-        sy = words[:, :HEADER_WORDS, :].reshape(n, HEADER_WORDS * NUM_BANDS)
+        raw, ok = lax.map(dec_body, _rebatch(words[:, :, HEADER_WORDS:]))
+        raw = raw.reshape(-1, NUM_BANDS, dlayout.n_out_words)[:n]
+        # header symbols word-major: (9, 6) slab -> (6, 9) -> 54
+        sy = words[:, :, :HEADER_WORDS].swapaxes(1, 2) \
+            .reshape(n, HEADER_WORDS * NUM_BANDS)
         blocks = jnp.concatenate([sy[:, :26], sy[:, 26:52]], axis=0) \
             .astype(jnp.float32)                    # (2n, 26)
         q1 = jnp.floor(blocks * (1.0 / 3.0))
@@ -773,6 +813,11 @@ def encode_stream_superframes(raw_words, cfg: EncoderConfig,
     superframes) regardless of frame size; the micro-batch keeps the RS
     matmuls MXU-sized.  The tail superframe is zero-padded (decoders recover
     exactly n_raw words from the caller's count).
+
+    The device hot path works in wire-planes (n_sf, 9, total) -- word axis
+    minor, no 9-lane tile padding (docs/PERF.md); this wrapper transposes
+    once at the boundary for the public word-major contract.  Perf-critical
+    callers use _stream_fns directly and stay in planes.
     """
     raw_words = jnp.asarray(raw_words)
     n = int(raw_words.shape[0])
@@ -784,7 +829,7 @@ def encode_stream_superframes(raw_words, cfg: EncoderConfig,
             [raw_words, jnp.zeros((pad, NUM_BANDS), dtype=raw_words.dtype)])
     chunks = raw_words.reshape(n_sf, sf, NUM_BANDS)
     _layout, _dl, enc, _dec = _stream_fns(cfg, sf_batch)
-    return enc(chunks)
+    return enc(chunks).swapaxes(1, 2)
 
 
 def decode_stream_superframes(words, cfg: EncoderConfig, n_raw: int,
@@ -793,12 +838,15 @@ def decode_stream_superframes(words, cfg: EncoderConfig, n_raw: int,
 
     Each superframe decodes to n_out_words >= superframe_words; only the
     first superframe_words per chunk are payload (the rest is RS-block
-    padding), so slice per-chunk before flattening.
+    padding), so slice per-chunk before flattening.  (Boundary transposes
+    into/out of the wire-planes device layout; see
+    encode_stream_superframes.)
     """
     words = jnp.asarray(words)
     _layout, _dl, _enc, dec = _stream_fns(cfg, sf_batch)
-    raw, ok = dec(words)
-    raw = raw[:, :cfg.superframe_words, :].reshape(-1, NUM_BANDS)[:n_raw]
+    raw_T, ok = dec(jnp.swapaxes(words, 1, 2))
+    raw = raw_T[:, :, :cfg.superframe_words].swapaxes(1, 2) \
+        .reshape(-1, NUM_BANDS)[:n_raw]
     return raw, ok
 
 

@@ -123,11 +123,12 @@ def main():
 
     if args.dirty:
         # one flipped symbol per superframe: every micro-batch is dirty
+        # (wire-planes layout: (n_sf, 9, total))
         dirty = []
         for p in prof:
             d = np.asarray(p).copy()
-            d[:, pipeline.HEADER_WORDS + 7, 4] = (
-                d[:, pipeline.HEADER_WORDS + 7, 4] + 1) % 27
+            d[:, 4, pipeline.HEADER_WORDS + 7] = (
+                d[:, 4, pipeline.HEADER_WORDS + 7] + 1) % 27
             dirty.append(jnp.asarray(d))
         report["decode_dirty_s"] = timed(dec, dirty)
 
@@ -150,7 +151,7 @@ def main():
 
     if args.encode_stages:
         layout = pipeline.build_encode_layout(cfg, sf)
-        to_cols, rs_stage, build_words = pipeline._encode_parts(layout)
+        to_cols, rs_stage, build_words, _efmt = pipeline._encode_parts(layout)
         xs_l = [rebatch(v.reshape(-1, sf, 9), n_sf) for v in enc_vars[:2]]
         f1, f2, f3 = (stream_of(s) for s in (to_cols, rs_stage, build_words))
         cols_l = [f1(x) for x in xs_l]
@@ -167,7 +168,7 @@ def main():
     if args.decode_stages:
         from ternary_image_codec_tpu.ops import rs as RS
         pre, post, meta, fmt = pipeline._decode_parts(dlay)
-        body_l = [rebatch(p[:, pipeline.HEADER_WORDS:, :], n_sf)
+        body_l = [rebatch(p[:, :, pipeline.HEADER_WORDS:], n_sf)
                   for p in prof[:2]]
         if fmt == "pm":
             op = ((lambda c, kk: RS.decode_paged_pm(c, kk, page=32))
@@ -200,7 +201,7 @@ def main():
         from ternary_image_codec_tpu.ops import rs as RS
         pre, post, meta, fmt = pipeline._decode_parts(dlay)
         assert fmt == "pm"
-        body_l = [rebatch(p[:, pipeline.HEADER_WORDS:, :], n_sf)
+        body_l = [rebatch(p[:, :, pipeline.HEADER_WORDS:], n_sf)
                   for p in prof[:2]]
 
         def upto_pre(b):
