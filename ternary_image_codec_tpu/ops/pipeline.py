@@ -665,60 +665,197 @@ def _decode_body_fn(layout: DecodeLayout, rs_mode: str = "paged",
     wire="planes": body (9, H) -> out (9, n_out) (streaming hot path --
     no boundary transposes, no 9-lane padded reads/writes).
 
-    rs_mode="paged" (default): rs.decode_dig_paged — the BM/Chien/Forney
-    chain runs only on dirty 32-block pages (a few per superframe even
-    under heavy scattered corruption; clean superframes skip ~all of it).
-    rs_mode="full": rs.decode_dig — unconditional chain on every block;
-    use for adversarially dense corruption (beyond the paged capacity the
-    per-block ok flags go False rather than silently wrong).
-
-    Measured on the chip (docs/PERF.md): keeping the RS stage INSIDE the
-    per-superframe vmap is faster than hoisting it to micro-batch level
-    (the concatenated-block layouts regressed decode 173 -> 233+ ms/frame).
+    rs_mode="paged" (default): the BM/Chien/Forney chain runs only on
+    dirty pages of blocks (a few per superframe even under heavy scattered
+    corruption; clean superframes skip ~all of it; > capacity dirty pages
+    in one band-group flags ok=False, fail-safe).  rs_mode="full": the
+    unconditional chain on every block, for adversarially dense corruption.
     """
-    pre, post, meta, fmt = _decode_parts(layout)
-    if fmt == "pm":
-        # Paged correction with C=4 dirty pages (~10-25 blocks each) per
-        # band-group per superframe: scattered errors hit few pages; >4
-        # dirty pages in one group flags ok=False (fail-safe) --
-        # rs_mode="full" decodes such streams.  The RS stage returns a
-        # sparse DELTA and the data add fuses into post's read (the
-        # full-size merge passes were the measured decode cost); the page
-        # size is a static divisor of the group's block count, so no pad
-        # copy either.
-        def _paged(c, k):
-            from .gf27 import _m3i
-            page = rs.pick_page(c.shape[1])
-            if page is None:
-                return rs.decode_paged_pm_bk(c, k, page=16,
-                                             max_dirty_pages=4)
-            delta, ok = rs.decode_delta_pm_bk(c, k, page,
-                                              max_dirty_pages=4)
-            return _m3i(c[:, :, :k] + delta), ok
+    if (layout.hdr.profile == ProfileID.P5_RS26_22_2D
+            and layout.hdr.tile.w and layout.hdr.tile.h):
+        return _decode_body_fn_cm(layout, rs_mode, wire)
+    return _decode_body_fn_pm2(layout, rs_mode, wire)
 
-        op = _paged if rs_mode == "paged" else rs.decode_pm_bk
-        axis = 1
-        pre_planes, post_planes = True, True
-    else:
-        op = ((lambda c, k: rs.decode_dig_paged(c, k, page=32))
-              if rs_mode == "paged" else rs.decode_dig)
-        axis = 0
-        pre_planes, post_planes = False, False
+
+@functools.cache
+def _decode_body_fn_cm(layout: DecodeLayout, rs_mode: str, wire: str):
+    pre, post, meta, _fmt = _decode_parts_cm(layout)
+    op = ((lambda c, k: rs.decode_dig_paged(c, k, page=32))
+          if rs_mode == "paged" else rs.decode_dig)
 
     def fn(body):
-        if (wire == "planes") != pre_planes:
+        if wire == "planes":
             body = body.T
         blocks = pre(body)
         dec = _grouped_rs(
-            [(i, blk, meta[i][2]) for i, blk in enumerate(blocks)], op,
-            axis=axis)
+            [(i, blk, meta[i][2]) for i, blk in enumerate(blocks)], op)
         decoded = tuple(dec[i][0] for i in range(len(meta)))
         oks = [dec[i][1] for i in range(len(meta))]
         ok_all = jnp.all(jnp.concatenate(oks)) if oks else jnp.asarray(True)
         out = post(decoded)
-        if (wire == "planes") != post_planes:
+        if wire == "planes":
             out = out.T
         return out, ok_all
+
+    return jax.jit(fn)
+
+
+@functools.cache
+def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
+    """Plane-major decode, op-count-minimized structure ("v2").
+
+    The per-op cost on this backend is fixed-ish (~40 us/materialized op
+    per 128-superframe micro-batch, tools/hbm_probe.py --chain), so the
+    structure minimizes distinct materialized ops rather than just bytes:
+
+      * ONE digit grid (27, H) [3 ops];
+      * ONE r=8 syndrome contraction for ALL uniform bands at once
+        (syndromes are k-independent: S_j = sum c_i alpha^(ji); a band
+        with r_b < 8 just reads its first r_b rows);
+      * paging + chain + sparse delta at band-GROUP level (only gathered
+        dirty pages ever leave the grid);
+      * stream assembly reads the grid slices + fused delta adds.
+
+    A beacon band has its own row geometry and takes the per-band gather
+    path (configs without a beacon -- the default -- skip it entirely).
+    """
+    from .gf27 import _m3i, fmod3
+    hdr, geom = layout.hdr, layout.geom
+    beacon = hdr.beacon
+    H = geom.H
+    dlens = [geom.blocks[b] * geom.ks[b] for b in range(NUM_BANDS)]
+    max_d = max(dlens) if dlens else 0
+    bc_band = beacon.band_slot if beacon.enabled else -1
+    nblk_u = H // rs.N  # uniform (non-beacon) bands: usable == H
+    # pad the grid so 16-block pages always tile the block axis (padded
+    # cells descramble to zero = valid codewords; offsets masked past H)
+    nblk_p = max(-(-nblk_u // 16) * 16, 16)
+    H_p = max(H, nblk_p * rs.N)
+    # k-groups over uniform bands
+    by_k = {}
+    for b in range(NUM_BANDS):
+        if b != bc_band and geom.blocks[b]:
+            by_k.setdefault(geom.ks[b], []).append(b)
+    # one r=8 syndrome matrix serves every band
+    S8 = rs._matrices_pm(18)["S2"]                       # (24, 3, 26)
+
+    def fn_planes(body_T):                               # (9, H)
+        wT = jnp.pad(body_T, ((0, 0), (0, H_p - H))).astype(jnp.float32)
+        q1 = jnp.floor(wT * (1.0 / 3.0))
+        q2 = jnp.floor(wT * (1.0 / 9.0))
+        planes = (wT - 3.0 * q1, q1 - 3.0 * q2,
+                  q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0)))
+        off = _pm_offsets(H, hdr.seed, -1.0)
+        off = jnp.pad(off, ((0, 0), (0, H_p - H)))  # zero offsets past H
+        dig = jnp.stack(
+            [fmod3(p + off[d::3] + 3.0).astype(jnp.int8)
+             for d, p in enumerate(planes)], axis=1).reshape(27, H_p)
+
+        U = dig.reshape(NUM_BANDS, 3, H_p)[:, :, :nblk_p * rs.N] \
+            .reshape(NUM_BANDS, 3, nblk_p, rs.N)
+        S_all = lax.dot_general(
+            jnp.asarray(S8, dtype=jnp.int8), U,
+            (((1, 2), (1, 3)), ((), ())),
+            preferred_element_type=jnp.int32)            # (24, 9, nblk)
+        S_all = fmod3(S_all.astype(jnp.float32)).astype(jnp.int8) \
+            .reshape(3, 8, NUM_BANDS, nblk_p)
+
+        streams = [None] * NUM_BANDS
+        oks = []
+        for k, bands in by_k.items():
+            r = 26 - k
+            g = len(bands)
+            barr = np.asarray(bands)
+            Sg = S_all[:, :r][:, :, barr]                # (3, r, g, nblk)
+            if rs_mode != "paged":
+                # full chain over every block of the group
+                g_rd = U[barr].transpose(1, 3, 0, 2) \
+                    .reshape(3, rs.N, g * nblk_p)
+                d_g, ok_g = rs._correct_pm(
+                    g_rd, Sg.reshape(3, r, g * nblk_p), k)
+                data = d_g.reshape(3, k, g, nblk_p)
+                for gi, b in enumerate(bands):
+                    streams[b] = data[:, :, gi, :nblk_u] \
+                        .transpose(0, 2, 1).reshape(3, -1)
+                oks.append(ok_g)
+                continue
+            dirty = jnp.any(Sg.reshape(3 * r, g, nblk_p) != 0, axis=0)
+            page = 16
+            npage = nblk_p // page
+            # capacity >= one dirty page per band of the group, so damage
+            # touching every band (e.g. a corrupted row) stays correctable
+            C = min(g * npage, max(6, g))
+            pdirty = jnp.any(dirty.reshape(g, npage, page), axis=2) \
+                .reshape(-1)                             # (g*npage,)
+            pidx = jnp.sort(jnp.where(pdirty, jnp.arange(g * npage),
+                                      g * npage))[:C]
+            valid = pidx < g * npage
+            psafe = jnp.where(valid, pidx, 0)
+            bb = psafe // npage
+            pp = psafe - bb * npage
+            Ug = U[barr].reshape(g, 3, npage, page, rs.N)
+            g_rd = Ug[bb, :, pp]                         # (C, 3, page, 26)
+            g_rd = g_rd.transpose(1, 3, 0, 2).reshape(3, rs.N, C * page)
+            Sv = Sg.transpose(2, 0, 1, 3) \
+                .reshape(g, 3, r, npage, page)[bb, :, :, pp] \
+                .transpose(1, 2, 0, 3).reshape(3, r, C * page)
+            d_g, ok_g = rs._correct_pm(g_rd, Sv, k)      # (3, k, Cp)
+            delta_g = _m3i(d_g - g_rd[:, :k])
+            # slot-gather the sparse delta back over the group's pages
+            rank = jnp.cumsum(pdirty.astype(jnp.int32)) - 1
+            slot = jnp.clip(rank, 0, C - 1)
+            use_corr = pdirty & (rank < C)
+            dpages = delta_g.reshape(3, k, C, page) \
+                .transpose(2, 0, 3, 1).reshape(C, 3, page * k)
+            delta = jnp.where(use_corr[:, None, None], dpages[slot],
+                              jnp.int8(0)) \
+                .reshape(g, npage, 3, page * k).transpose(0, 2, 1, 3) \
+                .reshape(g, 3, nblk_p, k)
+            ok_pages = ok_g.reshape(C, page)[slot]       # (g*npage, page)
+            okb = jnp.where(use_corr[:, None], ok_pages,
+                            (~dirty).reshape(g * npage, page))
+            oks.append(okb.reshape(-1))
+            for gi, b in enumerate(bands):
+                base = U[b][:, :, :k]                    # (3, nblk_p, k)
+                streams[b] = _m3i(base + delta[gi])[:, :nblk_u] \
+                    .reshape(3, -1)
+        # beacon band: its rows skip the beacon cells -> per-band gather
+        if bc_band >= 0 and geom.blocks[bc_band]:
+            nblk, k = geom.blocks[bc_band], geom.ks[bc_band]
+            band = dig[3 * bc_band:3 * bc_band + 3]
+            rows = _beacon_payload_rows(geom.usable[bc_band],
+                                        beacon.words_period)
+            band = band[:, rows][:, :nblk * rs.N].reshape(3, nblk, rs.N)
+            d_b, ok_b = rs.decode_paged_pm_bk(band, k, page=16,
+                                              max_dirty_pages=4) \
+                if rs_mode == "paged" else rs.decode_pm_bk(band, k)
+            streams[bc_band] = d_b.reshape(3, -1)
+            oks.append(ok_b)
+        # assemble (27, max_d) and regroup to words (wire-planes)
+        parts = []
+        for b in range(NUM_BANDS):
+            s = (streams[b] if streams[b] is not None
+                 else jnp.zeros((3, 0), dtype=jnp.int8))
+            parts.append(jnp.pad(s, ((0, 0), (0, max_d - s.shape[1]))))
+        M27 = jnp.concatenate(parts, axis=0)             # (27, max_d)
+        flat = M27.T.reshape(-1)
+        t = flat[:layout.n_out_words * 26].reshape(layout.n_out_words, 26)
+        P26 = np.zeros((26, NUM_BANDS), dtype=np.int8)
+        for j in range(26):
+            P26[j, j // 3] = 3 ** (j % 3)
+        out_T = lax.dot_general(jnp.asarray(P26), t.astype(jnp.int8),
+                                (((0,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32) \
+            .astype(jnp.int8)                            # (9, n_out)
+        ok_all = (jnp.all(jnp.concatenate(oks)) if oks
+                  else jnp.asarray(True))
+        return out_T, ok_all
+
+    def fn(body):
+        if wire == "planes":
+            return fn_planes(body)
+        out_T, ok = fn_planes(body.T)
+        return out_T.T, ok
 
     return jax.jit(fn)
 

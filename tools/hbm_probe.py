@@ -25,6 +25,11 @@ def main():
     ap.add_argument("--layouts", action="store_true",
                     help="probe minor-dim tiling cost: same logical bytes "
                          "as (B,26,3) vs (3,26,B) vs flat")
+    ap.add_argument("--chain", action="store_true",
+                    help="probe per-op overhead in the pipeline's regime: "
+                         "N distinct elementwise stages (each a forced "
+                         "materialization) over (128, 27, 7895) int8 "
+                         "under lax.map x16")
     args = ap.parse_args()
 
     import jax
@@ -100,6 +105,36 @@ def main():
                 best = min(best, time.perf_counter() - t0)
             report[f"layout_{name}_ms"] = round(
                 (best - floor) * 1e3, 3)
+
+    if args.chain:
+        from jax import lax
+        shape = (16, 128, 27, 7895)  # the decode micro-batch regime
+        r = np.random.default_rng(1)
+        xs = [jnp.asarray(r.integers(0, 3, size=shape).astype(np.int8) + i)
+              for i in range(2)]
+        for n_ops in (4, 16, 48):
+            def body(x, n=n_ops):
+                for i in range(n):
+                    # optimization_barrier forces one materialized tensor
+                    # per stage -- models the pipeline's fusion boundaries
+                    x = lax.optimization_barrier(x + jnp.int8(1 + i % 2))
+                return x
+
+            f = jax.jit(lambda v, b=body: jnp.sum(
+                lax.map(b, v)[:, 0, 0, ::512].astype(jnp.int32)))
+            f(xs[0])
+            best = float("inf")
+            for i in range(args.iters):
+                v = xs[i % 2]
+                t0 = time.perf_counter()
+                _ = int(f(v))
+                best = min(best, time.perf_counter() - t0)
+            el = best - floor
+            gb = np.prod(shape) / 1e9
+            report[f"chain_{n_ops}ops"] = {
+                "s": round(best, 4),
+                "ms_per_op": round(el * 1e3 / n_ops, 3),
+                "GBps_rw": round(2 * gb * n_ops / el, 1)}
     print(json.dumps(report))
 
 
