@@ -384,12 +384,37 @@ def _encode_parts_pm(layout: EncodeLayout):
         flat = jnp.pad(flat, (0, 27 * max_need - flat.shape[0]))
         return flat.reshape(max_need, 27).T                    # (27, m)
 
+    bc_band = beacon.band_slot if beacon.enabled else -1
+    by_k = {}
+    for b in active:
+        if b != bc_band:
+            by_k.setdefault(geom.ks[b], []).append(b)
+
     def rs_stage(cols):
-        items = [(b,
-                  cols[3 * b:3 * b + 3, :needs[b]]
-                  .reshape(3, geom.blocks[b], geom.ks[b]),
-                  geom.ks[b]) for b in active]
-        enc = _grouped_rs(items, rs.encode_pm_blocks, axis=1)
+        """Group-level RS encode: one dot_general per distinct k over the
+        grid's band rows directly (non-beacon bands share the same block
+        count) -- no per-band slicing/concat chains."""
+        from jax import lax as _lax
+        from .gf27 import fmod3
+        enc = {}
+        for k, bands in by_k.items():
+            nblk = geom.blocks[bands[0]]
+            rows = np.asarray([3 * b + d for b in bands for d in range(3)])
+            Ug = cols[rows, :nblk * k].reshape(len(bands), 3, nblk, k)
+            M = rs._matrices_pm(k)
+            y = _lax.dot_general(jnp.asarray(M["G2"], dtype=jnp.int8), Ug,
+                                 (((1, 2), (1, 3)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+            y = fmod3(y.astype(jnp.float32)).astype(jnp.int8)
+            cw = y.reshape(3, rs.N, len(bands), nblk) \
+                .transpose(2, 0, 3, 1)            # (g, 3, nblk, 26)
+            for gi, b in enumerate(bands):
+                enc[b] = cw[gi]
+        if bc_band in active:
+            b = bc_band
+            data = cols[3 * b:3 * b + 3, :needs[b]] \
+                .reshape(3, geom.blocks[b], geom.ks[b])
+            enc[b] = rs.encode_pm_blocks(data, geom.ks[b])
         return tuple(enc[b] for b in active)      # (3, nblk, 26) per band
 
     def build_words(enc_tuple):
