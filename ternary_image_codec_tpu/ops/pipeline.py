@@ -695,6 +695,10 @@ def _decode_body_fn(layout: DecodeLayout, rs_mode: str = "paged",
     corruption; clean superframes skip ~all of it; > capacity dirty pages
     in one band-group flags ok=False, fail-safe).  rs_mode="full": the
     unconditional chain on every block, for adversarially dense corruption.
+    rs_mode="check": integrity verification only -- syndromes set the ok
+    flags but nothing is corrected (cheap scrubbing of stored streams).
+    rs_mode="none": trust the stream, skip the RS stage entirely (ok=True;
+    fastest read path for storage already protected end-to-end).
     """
     if (layout.hdr.profile == ProfileID.P5_RS26_22_2D
             and layout.hdr.tile.w and layout.hdr.tile.h):
@@ -778,12 +782,13 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
 
         U = dig.reshape(NUM_BANDS, 3, H_p)[:, :, :nblk_p * rs.N] \
             .reshape(NUM_BANDS, 3, nblk_p, rs.N)
-        S_all = lax.dot_general(
-            jnp.asarray(S8, dtype=jnp.int8), U,
-            (((1, 2), (1, 3)), ((), ())),
-            preferred_element_type=jnp.int32)            # (24, 9, nblk)
-        S_all = fmod3(S_all.astype(jnp.float32)).astype(jnp.int8) \
-            .reshape(3, 8, NUM_BANDS, nblk_p)
+        if rs_mode != "none":
+            S_all = lax.dot_general(
+                jnp.asarray(S8, dtype=jnp.int8), U,
+                (((1, 2), (1, 3)), ((), ())),
+                preferred_element_type=jnp.int32)        # (24, 9, nblk)
+            S_all = fmod3(S_all.astype(jnp.float32)).astype(jnp.int8) \
+                .reshape(3, 8, NUM_BANDS, nblk_p)
 
         streams = [None] * NUM_BANDS
         oks = []
@@ -791,7 +796,17 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
             r = 26 - k
             g = len(bands)
             barr = np.asarray(bands)
+            if rs_mode == "none":
+                for b in bands:
+                    streams[b] = U[b][:, :nblk_u, :k].reshape(3, -1)
+                continue
             Sg = S_all[:, :r][:, :, barr]                # (3, r, g, nblk)
+            if rs_mode == "check":
+                dirty = jnp.any(Sg.reshape(3 * r, g, nblk_p) != 0, axis=0)
+                oks.append((~dirty).reshape(-1))
+                for b in bands:
+                    streams[b] = U[b][:, :nblk_u, :k].reshape(3, -1)
+                continue
             if rs_mode != "paged":
                 # full chain over every block of the group
                 g_rd = U[barr].transpose(1, 3, 0, 2) \
@@ -851,11 +866,19 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
             rows = _beacon_payload_rows(geom.usable[bc_band],
                                         beacon.words_period)
             band = band[:, rows][:, :nblk * rs.N].reshape(3, nblk, rs.N)
-            d_b, ok_b = rs.decode_paged_pm_bk(band, k, page=16,
-                                              max_dirty_pages=4) \
-                if rs_mode == "paged" else rs.decode_pm_bk(band, k)
-            streams[bc_band] = d_b.reshape(3, -1)
-            oks.append(ok_b)
+            if rs_mode == "none":
+                streams[bc_band] = band[:, :, :k].reshape(3, -1)
+            elif rs_mode == "check":
+                Sb = rs.syndromes_pm_bk(band, k)
+                oks.append(~jnp.any(
+                    Sb.reshape(-1, nblk) != 0, axis=0))
+                streams[bc_band] = band[:, :, :k].reshape(3, -1)
+            else:
+                d_b, ok_b = rs.decode_paged_pm_bk(band, k, page=16,
+                                                  max_dirty_pages=4) \
+                    if rs_mode == "paged" else rs.decode_pm_bk(band, k)
+                streams[bc_band] = d_b.reshape(3, -1)
+                oks.append(ok_b)
         # assemble (27, max_d) and regroup to words (wire-planes)
         parts = []
         for b in range(NUM_BANDS):

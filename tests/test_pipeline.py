@@ -274,3 +274,34 @@ class TestSuperframeStreaming:
         prof = np.asarray(pipeline.encode_stream_superframes(raw, cfg1))
         _out, ok = pipeline.decode_stream_superframes(prof, cfg2, n_raw)
         assert not bool(ok)
+
+    def test_stream_check_and_none_modes(self):
+        """rs_mode="check" verifies without correcting (flags corruption);
+        rs_mode="none" trusts the stream (fast read path)."""
+        from ternary_image_codec_tpu.config import (EncoderConfig, ProfileID,
+                                                    uep_luma_priority)
+        import jax.numpy as jnp
+        cfg = EncoderConfig(profile=ProfileID.P2_RS26_22,
+                            uep=uep_luma_priority(), superframe_words=64)
+        r = np.random.default_rng(31)
+        n_raw = 128
+        t = r.integers(0, 3, size=(n_raw, 27)).astype(np.int8)
+        t[:, 26] = 0
+        raw = (t.reshape(n_raw, 9, 3) * np.array([1, 3, 9])).sum(-1).astype(np.int8)
+        prof = np.asarray(pipeline.encode_stream_superframes(raw, cfg,
+                                                             sf_batch=2))
+        for mode in ("check", "none"):
+            _l, _d, _e, dec = pipeline._stream_fns(cfg, 2, rs_mode=mode)
+            out_T, ok = dec(jnp.asarray(prof).swapaxes(1, 2))
+            got = np.asarray(out_T)[:, :, :64].transpose(0, 2, 1).reshape(-1, 9)[:n_raw]
+            assert bool(ok) and np.array_equal(got, raw), mode
+        # corrupt one symbol: check flags it, none silently passes data thru
+        corr = prof.copy()
+        corr[1, pipeline.HEADER_WORDS + 3, 2] = (
+            corr[1, pipeline.HEADER_WORDS + 3, 2] + 1) % 27
+        _l, _d, _e, dec_c = pipeline._stream_fns(cfg, 2, rs_mode="check")
+        _o, ok_c = dec_c(jnp.asarray(corr).swapaxes(1, 2))
+        assert not bool(ok_c)
+        _l, _d, _e, dec_n = pipeline._stream_fns(cfg, 2, rs_mode="none")
+        _o, ok_n = dec_n(jnp.asarray(corr).swapaxes(1, 2))
+        assert bool(ok_n)  # "none" trusts the stream by design

@@ -40,11 +40,15 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--dirty", action="store_true",
                     help="also time decode of a corrupted stream (slow path)")
-    ap.add_argument("--rs-mode", choices=["paged", "full", "legacy"],
+    ap.add_argument("--rs-mode",
+                    choices=["paged", "full", "legacy", "check", "none"],
                     default="paged",
                     help="A/B: paged (dirty-page-compacted chain), full "
                          "(unconditional chain, micro-batch RS), legacy "
                          "(per-superframe chain under vmap)")
+    ap.add_argument("--encode-cumulative", action="store_true",
+                    help="time FUSED cumulative encode prefixes (to_cols, "
+                         "+rs, full)")
     ap.add_argument("--encode-stages", action="store_true",
                     help="time encode sub-stages (to_cols / rs / "
                          "build_words) as separate jits")
@@ -196,6 +200,34 @@ def main():
         report["dec_post_s"] = timed(g3, decd_l)
         report["dec_post_cost"] = cost(g3, decd_l[0])
         print("decode stages done", file=sys.stderr, flush=True)
+
+    if args.encode_cumulative:
+        from jax import lax as _lx
+        layout = pipeline.build_encode_layout(cfg, sf)
+        to_cols, rs_st, build_w, _ef = pipeline._encode_parts(layout)
+        xs_l = [rebatch(v.reshape(-1, sf, 9), n_sf) for v in enc_vars[:2]]
+
+        def c_cols(c):
+            return jnp.sum(to_cols(c).astype(jnp.int32))
+
+        def c_rs(c):
+            return sum(jnp.sum(x.astype(jnp.int32))
+                       for x in rs_st(to_cols(c)))
+
+        def c_full(c):
+            return jnp.sum(build_w(rs_st(to_cols(c))).astype(jnp.int32))
+
+        for name, fnx in (("ecum_cols", c_cols), ("ecum_rs", c_rs),
+                          ("ecum_full", c_full)):
+            g = jax.jit(lambda x, f=fnx: _lx.map(jax.vmap(f), x).sum())
+            g(xs_l[0])
+            best = float("inf")
+            for v in xs_l * ((args.iters + 1) // 2):
+                t0 = time.perf_counter()
+                _ = int(g(v))
+                best = min(best, time.perf_counter() - t0)
+            report[f"{name}_s"] = round(best, 5)
+            print(f"{name}={best:.4f}", file=sys.stderr, flush=True)
 
     if args.decode_cumulative:
         from ternary_image_codec_tpu.ops import rs as RS
