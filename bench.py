@@ -47,7 +47,16 @@ def main():
         [raw_np, np.zeros((pad, 9), dtype=np.int8)]).reshape(n_sf, sf, 9)
     chunks = jnp.asarray(chunks_np)
 
-    _lay, dlay, enc, dec = pipeline._stream_fns(cfg, sf_batch)
+    # Production two-phase decode (pipeline.decode_stream_superframes
+    # strategy="auto"): the hot dispatch runs the full-syndrome CHECK
+    # decode; the page-compacted corrector dispatches only when a stream
+    # flags dirty (never, for intact streams -- the host asserts ok on
+    # every timed batch, so a corrupted stream would fail loudly, and
+    # repair would be timed if it ever ran).
+    _lay, dlay, enc, dec = pipeline._stream_fns(cfg, sf_batch,
+                                                rs_mode="check")
+    _l2, _d2, _e2, dec_fix = pipeline._stream_fns(cfg, sf_batch,
+                                                  rs_mode="paged")
 
     @jax.jit
     def step(c):
@@ -94,9 +103,15 @@ def main():
         for b in batches[1:]:  # distinct inputs per timed call
             with tracing.stage_timer("encode_decode_8k_x4"):
                 t0 = time.perf_counter()
-                _ok, chk = step_frames(b)
+                ok, chk = step_frames(b)
                 _ = float(chk)  # host sync on a scalar
-                dt = min(dt, (time.perf_counter() - t0) / iters)
+                elapsed = time.perf_counter() - t0
+                if not bool(ok):  # phase 2: repair (never on this input)
+                    for c in b:
+                        _o, _k = dec_fix(enc(c))
+                        _o.block_until_ready()
+                    elapsed = time.perf_counter() - t0
+                dt = min(dt, elapsed / iters)
     tracing.log_event("bench_stages", **tracing.stage_report())
     fps = 1.0 / dt
 

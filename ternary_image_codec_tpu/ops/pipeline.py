@@ -1018,7 +1018,7 @@ def encode_stream_superframes(raw_words, cfg: EncoderConfig,
 
 
 def decode_stream_superframes(words, cfg: EncoderConfig, n_raw: int,
-                              sf_batch: int = 64):
+                              sf_batch: int = 64, strategy: str = "auto"):
     """(n_sf, total_words, 9) profile words -> (n_raw, 9) RAW words + ok.
 
     Each superframe decodes to n_out_words >= superframe_words; only the
@@ -1026,10 +1026,30 @@ def decode_stream_superframes(words, cfg: EncoderConfig, n_raw: int,
     padding), so slice per-chunk before flattening.  (Boundary transposes
     into/out of the wire-planes device layout; see
     encode_stream_superframes.)
+
+    strategy="auto" (default) is the production two-phase decode: phase 1
+    verifies + extracts in one dispatch (rs_mode="check" -- a full
+    syndrome check of every block, no correction machinery); only when
+    the stream flags dirty does phase 2 dispatch the page-compacted
+    corrector.  Intact streams -- the overwhelmingly common case -- never
+    pay for correction.  The branch lives on the HOST: a device-side
+    lax.cond was measured SLOWER than just always correcting
+    (docs/PERF.md).  strategy="paged"/"full"/"check"/"none" force a
+    single-phase decode with that rs_mode.
     """
     words = jnp.asarray(words)
-    _layout, _dl, _enc, dec = _stream_fns(cfg, sf_batch)
-    raw_T, ok = dec(jnp.swapaxes(words, 1, 2))
+    words_T = jnp.swapaxes(words, 1, 2)
+    if strategy == "auto":
+        _l, _d, _enc, dec_check = _stream_fns(cfg, sf_batch,
+                                              rs_mode="check")
+        raw_T, ok = dec_check(words_T)
+        if not bool(ok):
+            _l, _d, _enc, dec_fix = _stream_fns(cfg, sf_batch,
+                                                rs_mode="paged")
+            raw_T, ok = dec_fix(words_T)
+    else:
+        _l, _d, _enc, dec = _stream_fns(cfg, sf_batch, rs_mode=strategy)
+        raw_T, ok = dec(words_T)
     raw = raw_T[:, :, :cfg.superframe_words].swapaxes(1, 2) \
         .reshape(-1, NUM_BANDS)[:n_raw]
     return raw, ok
