@@ -221,26 +221,6 @@ def _grouped_rs(items, op, axis: int = 0):
 
 
 @functools.cache
-def _repack702():
-    """27-word/26-column repack permutation as a GF-free 0/1 tensor.
-
-    The 26-useful-trits-per-word regroup into 27-trit grid columns is
-    periodic: every 27 words supply exactly 26 columns (702 trits).  Within
-    one period, trit t of word w lands at grid row r, column i with
-    27*i + r = 26*w + t.  P[w, t, r*26 + i] = 1 expresses the whole repack
-    as ONE int8 MXU contraction over (word-in-block, trit) -- replacing a
-    chain of lane-crossing reshape/pad/transpose relayouts (measured as
-    the dominant encode cost, docs/PERF.md)."""
-    P = np.zeros((27, 26, 702), dtype=np.int8)
-    for w in range(27):
-        for t in range(26):
-            tau = 26 * w + t
-            i, r = divmod(tau, 27)
-            P[w, t, r * 26 + i] = 1
-    return P
-
-
-@functools.cache
 def _unpack702():
     """Inverse direction fused with the trit->symbol pack: one grid-column
     block (27 rows x 26 cols) -> 27 words x 9 symbols.  C[r, i, w*9 + b] =
@@ -403,29 +383,21 @@ def _encode_parts_pm(layout: EncodeLayout):
     bsym_dig = np.asarray([geom.beacon_sym % 3, (geom.beacon_sym // 3) % 3,
                            (geom.beacon_sym // 9) % 3], dtype=np.int8)
 
-    WB = -(-max_need // 26)   # 27-word repack periods needed
-
     def to_cols(raw_words):
-        # words (sf, 9) -> trit stream -> (27, max_need) grid.  The
-        # lane-crossing 26->27 regroup is ONE MXU contraction with the
-        # static 702-period permutation (_repack702) -- no flat/reshape/
-        # transpose relayout chain.
+        # words (sf, 9) -> trit stream -> (27, max_need) grid: trit
+        # 27j + 3b + d is digit d of stream symbol 9j + b, so the whole
+        # round-robin band split is ONE (m, 27) -> (27, m) transpose.
+        # (A 702-period permutation-matmul variant measured SLOWER here,
+        # unlike the decode direction -- docs/PERF.md.)
         s = raw_words.astype(jnp.float32)
         q1 = jnp.floor(s * (1.0 / 3.0))
         q2 = jnp.floor(s * (1.0 / 9.0))
-        t26 = jnp.stack([s - 3.0 * q1, q1 - 3.0 * q2,
+        t27 = jnp.stack([s - 3.0 * q1, q1 - 3.0 * q2,
                          q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0))],
-                        axis=-1).astype(jnp.int8) \
-            .reshape(-1, 27)[:, :26]                           # (sf, 26)
-        t26 = jnp.pad(t26, ((0, 27 * WB - t26.shape[0]), (0, 0)))
-        blocks = t26.reshape(WB, 27, 26)
-        out = lax.dot_general(blocks,
-                              jnp.asarray(_repack702()),
-                              (((1, 2), (0, 1)), ((), ())),
-                              preferred_element_type=jnp.int32) \
-            .astype(jnp.int8)                                  # (WB, 702)
-        return out.reshape(WB, 27, 26).transpose(1, 0, 2) \
-            .reshape(27, 26 * WB)[:, :max_need]
+                        axis=-1).astype(jnp.int8)
+        flat = t27.reshape(-1, 27)[:, :26].reshape(-1)
+        flat = jnp.pad(flat, (0, 27 * max_need - flat.shape[0]))
+        return flat.reshape(max_need, 27).T                    # (27, m)
 
     bc_band = beacon.band_slot if beacon.enabled else -1
     by_k = {}
