@@ -80,9 +80,9 @@ def main():
     # (docs/PERF.md "machine constants"), which a per-frame loop would
     # charge to every frame; production streaming pipelines frames the
     # same way.
-    iters = 4
+    iters = 8
     batches = [jnp.asarray(np.stack(
-        [(chunks_np + 4 * bi + i) % 27 for i in range(1, iters + 1)]))
+        [(chunks_np + iters * bi + i) % 27 for i in range(1, iters + 1)]))
         for bi in range(3)]
     for b in batches:
         b.block_until_ready()
@@ -101,7 +101,7 @@ def main():
     dt = float("inf")
     with tracing.device_trace(os.environ.get("T3_TRACE_DIR")):
         for b in batches[1:]:  # distinct inputs per timed call
-            with tracing.stage_timer("encode_decode_8k_x4"):
+            with tracing.stage_timer("encode_decode_8k_batch"):
                 t0 = time.perf_counter()
                 ok, chk = step_frames(b)
                 _ = float(chk)  # host sync on a scalar

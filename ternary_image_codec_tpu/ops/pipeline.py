@@ -805,22 +805,24 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
             S_all = fmod3(S_all.astype(jnp.float32)).astype(jnp.int8) \
                 .reshape(3, 8, NUM_BANDS, nblk_p)
 
-        streams = [None] * NUM_BANDS
-        oks = []
+        # group SLABS (3g, L) with rows [band-major, digit-minor]; bands
+        # of different groups interleave in the final grid, fixed by one
+        # static 27-row permutation after the concat (2-3 pads + 1 gather
+        # instead of 9 per-band pad/concat chains)
+        slabs, row_ids, oks = [], [], []
         for k, bands in by_k.items():
             r = 26 - k
             g = len(bands)
             barr = np.asarray(bands)
+            row_ids += [3 * b + d for b in bands for d in range(3)]
             if rs_mode == "none":
-                for b in bands:
-                    streams[b] = U[b][:, :nblk_u, :k].reshape(3, -1)
+                slabs.append(U[barr][:, :, :nblk_u, :k].reshape(3 * g, -1))
                 continue
             Sg = S_all[:, :r][:, :, barr]                # (3, r, g, nblk)
             if rs_mode == "check":
                 dirty = jnp.any(Sg.reshape(3 * r, g, nblk_p) != 0, axis=0)
                 oks.append((~dirty).reshape(-1))
-                for b in bands:
-                    streams[b] = U[b][:, :nblk_u, :k].reshape(3, -1)
+                slabs.append(U[barr][:, :, :nblk_u, :k].reshape(3 * g, -1))
                 continue
             if rs_mode != "paged":
                 # full chain over every block of the group
@@ -828,10 +830,9 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
                     .reshape(3, rs.N, g * nblk_p)
                 d_g, ok_g = rs._correct_pm(
                     g_rd, Sg.reshape(3, r, g * nblk_p), k)
-                data = d_g.reshape(3, k, g, nblk_p)
-                for gi, b in enumerate(bands):
-                    streams[b] = data[:, :, gi, :nblk_u] \
-                        .transpose(0, 2, 1).reshape(3, -1)
+                slabs.append(d_g.reshape(3, k, g, nblk_p)
+                             .transpose(2, 0, 3, 1)[:, :, :nblk_u]
+                             .reshape(3 * g, -1))
                 oks.append(ok_g)
                 continue
             dirty = jnp.any(Sg.reshape(3 * r, g, nblk_p) != 0, axis=0)
@@ -870,29 +871,29 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
             okb = jnp.where(use_corr[:, None], ok_pages,
                             (~dirty).reshape(g * npage, page))
             oks.append(okb.reshape(-1))
-            for gi, b in enumerate(bands):
-                base = U[b][:, :, :k]                    # (3, nblk_p, k)
-                streams[b] = _m3i(base + delta[gi])[:, :nblk_u] \
-                    .reshape(3, -1)
+            base = U[barr][:, :, :, :k]                  # (g, 3, nblk_p, k)
+            slabs.append(_m3i(base + delta)[:, :, :nblk_u]
+                         .reshape(3 * g, -1))
         # beacon band: its rows skip the beacon cells -> per-band gather
         if bc_band >= 0 and geom.blocks[bc_band]:
             nblk, k = geom.blocks[bc_band], geom.ks[bc_band]
+            row_ids += [3 * bc_band + d for d in range(3)]
             band = dig[3 * bc_band:3 * bc_band + 3]
             rows = _beacon_payload_rows(geom.usable[bc_band],
                                         beacon.words_period)
             band = band[:, rows][:, :nblk * rs.N].reshape(3, nblk, rs.N)
             if rs_mode == "none":
-                streams[bc_band] = band[:, :, :k].reshape(3, -1)
+                slabs.append(band[:, :, :k].reshape(3, -1))
             elif rs_mode == "check":
                 Sb = rs.syndromes_pm_bk(band, k)
                 oks.append(~jnp.any(
                     Sb.reshape(-1, nblk) != 0, axis=0))
-                streams[bc_band] = band[:, :, :k].reshape(3, -1)
+                slabs.append(band[:, :, :k].reshape(3, -1))
             else:
                 d_b, ok_b = rs.decode_paged_pm_bk(band, k, page=16,
                                                   max_dirty_pages=4) \
                     if rs_mode == "paged" else rs.decode_pm_bk(band, k)
-                streams[bc_band] = d_b.reshape(3, -1)
+                slabs.append(d_b.reshape(3, -1))
                 oks.append(ok_b)
         # assemble (27, max_d) and regroup to words: the lane-crossing
         # 27-grid-trits -> 26-trit-words regroup FUSED with the trit->
@@ -900,12 +901,16 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
         # (_unpack702) -- no flat/reshape relayout chain
         max_dp = -(-max(max_d, 1) // 26) * 26
         MB = max_dp // 26
-        parts = []
+        covered = set(row_ids)
         for b in range(NUM_BANDS):
-            s = (streams[b] if streams[b] is not None
-                 else jnp.zeros((3, 0), dtype=jnp.int8))
-            parts.append(jnp.pad(s, ((0, 0), (0, max_dp - s.shape[1]))))
-        M27 = jnp.concatenate(parts, axis=0)             # (27, max_dp)
+            if 3 * b not in covered:
+                row_ids += [3 * b + d for d in range(3)]
+                slabs.append(jnp.zeros((3, max_dp), dtype=jnp.int8))
+        slabs = [jnp.pad(s, ((0, 0), (0, max_dp - s.shape[1])))
+                 for s in slabs]
+        inv = np.empty(27, dtype=np.int64)
+        inv[np.asarray(row_ids)] = np.arange(27)
+        M27 = jnp.concatenate(slabs, axis=0)[inv]        # (27, max_dp)
         blocks27 = M27.reshape(27, MB, 26).transpose(1, 0, 2)
         wout = lax.dot_general(blocks27, jnp.asarray(_unpack702()),
                                (((1, 2), (0, 1)), ((), ())),
