@@ -122,6 +122,13 @@ def _min_height(lens, uep, beacon) -> int:
     H = max((nb * rs.N for nb in need_blocks), default=0)
     if not beacon.enabled:
         return H
+    if beacon.words_period == 1 and need_blocks[beacon.band_slot] > 0:
+        # every row of the beacon band carries the beacon symbol: zero
+        # payload capacity -- no height can fit this band's data (the
+        # search below would loop forever)
+        raise ValueError(
+            "beacon words_period=1 leaves the beacon band with zero "
+            "payload capacity; use a period >= 2 or an empty stream")
     while True:
         g = _grid_geom(uep, beacon, H, 0)
         if all(g.blocks[b] >= need_blocks[b] for b in range(NUM_BANDS)):
@@ -421,42 +428,54 @@ def _encode_parts_pm(layout: EncodeLayout):
                                  (((1, 2), (1, 3)), ((), ())),
                                  preferred_element_type=jnp.int32)
             y = fmod3(y.astype(jnp.float32)).astype(jnp.int8)
-            cw = y.reshape(3, rs.N, len(bands), nblk) \
+            enc[k] = y.reshape(3, rs.N, len(bands), nblk) \
                 .transpose(2, 0, 3, 1)            # (g, 3, nblk, 26)
-            for gi, b in enumerate(bands):
-                enc[b] = cw[gi]
+        outs = [enc[k] for k in by_k]
         if bc_band in active:
             b = bc_band
             data = cols[3 * b:3 * b + 3, :needs[b]] \
                 .reshape(3, geom.blocks[b], geom.ks[b])
-            enc[b] = rs.encode_pm_blocks(data, geom.ks[b])
-        return tuple(enc[b] for b in active)      # (3, nblk, 26) per band
+            outs.append(rs.encode_pm_blocks(data, geom.ks[b]))
+        return tuple(outs)   # (g, 3, nblk, 26) per k-group [+ beacon]
 
     def build_words(enc_tuple):
-        enc = dict(zip(active, enc_tuple))
-        out_cols = []
+        # group slabs + one static 27-row permutation (see the decode
+        # assembly note): 1-2 pads + 1 gather instead of 9 column chains
+        slabs, row_ids = [], []
         r = jnp.arange(geom.H, dtype=jnp.int32)
-        for b in range(NUM_BANDS):
-            stream = (enc[b].reshape(3, -1) if geom.blocks[b]
-                      else jnp.zeros((3, 0), dtype=jnp.int8))
+        for i, (k, bands) in enumerate(by_k.items()):
+            g = len(bands)
+            slab = enc_tuple[i].reshape(3 * g, -1)    # (3g, nblk*26)
+            slabs.append(jnp.pad(
+                slab, ((0, 0), (0, geom.H - slab.shape[1]))))
+            row_ids += [3 * b + d for b in bands for d in range(3)]
+        if bc_band >= 0:
+            b = bc_band
+            stream = (enc_tuple[len(by_k)].reshape(3, -1)
+                      if b in active else jnp.zeros((3, 0), dtype=jnp.int8))
             stream = jnp.pad(
                 stream, ((0, 0), (0, geom.usable[b] - stream.shape[1])))
-            if beacon.enabled and b == beacon.band_slot:
-                if beacon.words_period == 1:
-                    col = jnp.broadcast_to(jnp.asarray(bsym_dig)[:, None],
-                                           (3, geom.H))
-                else:
-                    is_b = r % beacon.words_period == 0
-                    payload_idx = jnp.clip(
-                        r - r // beacon.words_period - 1, 0,
-                        max(geom.usable[b] - 1, 0))
-                    col = jnp.where(is_b[None, :],
-                                    jnp.asarray(bsym_dig)[:, None],
-                                    stream[:, payload_idx])
+            if beacon.words_period == 1:
+                col = jnp.broadcast_to(jnp.asarray(bsym_dig)[:, None],
+                                       (3, geom.H))
             else:
-                col = stream  # usable == H
-            out_cols.append(col)
-        grid = jnp.concatenate(out_cols, axis=0)          # (27, H)
+                is_b = r % beacon.words_period == 0
+                payload_idx = jnp.clip(
+                    r - r // beacon.words_period - 1, 0,
+                    max(geom.usable[b] - 1, 0))
+                col = jnp.where(is_b[None, :],
+                                jnp.asarray(bsym_dig)[:, None],
+                                stream[:, payload_idx])
+            slabs.append(col)
+            row_ids += [3 * b + d for d in range(3)]
+        covered = set(row_ids)
+        for b in range(NUM_BANDS):
+            if 3 * b not in covered:
+                slabs.append(jnp.zeros((3, geom.H), dtype=jnp.int8))
+                row_ids += [3 * b + d for d in range(3)]
+        inv = np.empty(27, dtype=np.int64)
+        inv[np.asarray(row_ids)] = np.arange(27)
+        grid = jnp.concatenate(slabs, axis=0)[inv]        # (27, H)
         off = _pm_offsets(geom.H, cfg.seed, 1.0)
         scr = fmod3(grid.astype(jnp.float32) + off + 3.0).astype(jnp.int8)
         if beacon.enabled:

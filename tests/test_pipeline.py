@@ -305,3 +305,15 @@ class TestSuperframeStreaming:
         _l, _d, _e, dec_n = pipeline._stream_fns(cfg, 2, rs_mode="none")
         _o, ok_n = dec_n(jnp.asarray(corr).swapaxes(1, 2))
         assert bool(ok_n)  # "none" trusts the stream by design
+
+    def test_period1_beacon_with_data_rejected(self):
+        """words_period=1 gives the beacon band zero payload capacity; the
+        layout search used to loop forever -- must raise instead."""
+        from ternary_image_codec_tpu.config import (EncoderConfig, ProfileID,
+                                                    SparseBeaconCfg,
+                                                    uep_uniform)
+        cfg = EncoderConfig(profile=ProfileID.P1_RS26_24, uep=uep_uniform(0),
+                            beacon=SparseBeaconCfg(1, 0, True),
+                            superframe_words=32)
+        with pytest.raises(ValueError, match="words_period=1"):
+            pipeline.build_encode_layout(cfg, 32)
