@@ -428,54 +428,42 @@ def _encode_parts_pm(layout: EncodeLayout):
                                  (((1, 2), (1, 3)), ((), ())),
                                  preferred_element_type=jnp.int32)
             y = fmod3(y.astype(jnp.float32)).astype(jnp.int8)
-            enc[k] = y.reshape(3, rs.N, len(bands), nblk) \
+            cw = y.reshape(3, rs.N, len(bands), nblk) \
                 .transpose(2, 0, 3, 1)            # (g, 3, nblk, 26)
-        outs = [enc[k] for k in by_k]
+            for gi, b in enumerate(bands):
+                enc[b] = cw[gi]
         if bc_band in active:
             b = bc_band
             data = cols[3 * b:3 * b + 3, :needs[b]] \
                 .reshape(3, geom.blocks[b], geom.ks[b])
-            outs.append(rs.encode_pm_blocks(data, geom.ks[b]))
-        return tuple(outs)   # (g, 3, nblk, 26) per k-group [+ beacon]
+            enc[b] = rs.encode_pm_blocks(data, geom.ks[b])
+        return tuple(enc[b] for b in active)      # (3, nblk, 26) per band
 
     def build_words(enc_tuple):
-        # group slabs + one static 27-row permutation (see the decode
-        # assembly note): 1-2 pads + 1 gather instead of 9 column chains
-        slabs, row_ids = [], []
+        enc = dict(zip(active, enc_tuple))
+        out_cols = []
         r = jnp.arange(geom.H, dtype=jnp.int32)
-        for i, (k, bands) in enumerate(by_k.items()):
-            g = len(bands)
-            slab = enc_tuple[i].reshape(3 * g, -1)    # (3g, nblk*26)
-            slabs.append(jnp.pad(
-                slab, ((0, 0), (0, geom.H - slab.shape[1]))))
-            row_ids += [3 * b + d for b in bands for d in range(3)]
-        if bc_band >= 0:
-            b = bc_band
-            stream = (enc_tuple[len(by_k)].reshape(3, -1)
-                      if b in active else jnp.zeros((3, 0), dtype=jnp.int8))
+        for b in range(NUM_BANDS):
+            stream = (enc[b].reshape(3, -1) if geom.blocks[b]
+                      else jnp.zeros((3, 0), dtype=jnp.int8))
             stream = jnp.pad(
                 stream, ((0, 0), (0, geom.usable[b] - stream.shape[1])))
-            if beacon.words_period == 1:
-                col = jnp.broadcast_to(jnp.asarray(bsym_dig)[:, None],
-                                       (3, geom.H))
+            if beacon.enabled and b == beacon.band_slot:
+                if beacon.words_period == 1:
+                    col = jnp.broadcast_to(jnp.asarray(bsym_dig)[:, None],
+                                           (3, geom.H))
+                else:
+                    is_b = r % beacon.words_period == 0
+                    payload_idx = jnp.clip(
+                        r - r // beacon.words_period - 1, 0,
+                        max(geom.usable[b] - 1, 0))
+                    col = jnp.where(is_b[None, :],
+                                    jnp.asarray(bsym_dig)[:, None],
+                                    stream[:, payload_idx])
             else:
-                is_b = r % beacon.words_period == 0
-                payload_idx = jnp.clip(
-                    r - r // beacon.words_period - 1, 0,
-                    max(geom.usable[b] - 1, 0))
-                col = jnp.where(is_b[None, :],
-                                jnp.asarray(bsym_dig)[:, None],
-                                stream[:, payload_idx])
-            slabs.append(col)
-            row_ids += [3 * b + d for d in range(3)]
-        covered = set(row_ids)
-        for b in range(NUM_BANDS):
-            if 3 * b not in covered:
-                slabs.append(jnp.zeros((3, geom.H), dtype=jnp.int8))
-                row_ids += [3 * b + d for d in range(3)]
-        inv = np.empty(27, dtype=np.int64)
-        inv[np.asarray(row_ids)] = np.arange(27)
-        grid = jnp.concatenate(slabs, axis=0)[inv]        # (27, H)
+                col = stream  # usable == H
+            out_cols.append(col)
+        grid = jnp.concatenate(out_cols, axis=0)          # (27, H)
         off = _pm_offsets(geom.H, cfg.seed, 1.0)
         scr = fmod3(grid.astype(jnp.float32) + off + 3.0).astype(jnp.int8)
         if beacon.enabled:
@@ -824,24 +812,22 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
             S_all = fmod3(S_all.astype(jnp.float32)).astype(jnp.int8) \
                 .reshape(3, 8, NUM_BANDS, nblk_p)
 
-        # group SLABS (3g, L) with rows [band-major, digit-minor]; bands
-        # of different groups interleave in the final grid, fixed by one
-        # static 27-row permutation after the concat (2-3 pads + 1 gather
-        # instead of 9 per-band pad/concat chains)
-        slabs, row_ids, oks = [], [], []
+        streams = [None] * NUM_BANDS
+        oks = []
         for k, bands in by_k.items():
             r = 26 - k
             g = len(bands)
             barr = np.asarray(bands)
-            row_ids += [3 * b + d for b in bands for d in range(3)]
             if rs_mode == "none":
-                slabs.append(U[barr][:, :, :nblk_u, :k].reshape(3 * g, -1))
+                for b in bands:
+                    streams[b] = U[b][:, :nblk_u, :k].reshape(3, -1)
                 continue
             Sg = S_all[:, :r][:, :, barr]                # (3, r, g, nblk)
             if rs_mode == "check":
                 dirty = jnp.any(Sg.reshape(3 * r, g, nblk_p) != 0, axis=0)
                 oks.append((~dirty).reshape(-1))
-                slabs.append(U[barr][:, :, :nblk_u, :k].reshape(3 * g, -1))
+                for b in bands:
+                    streams[b] = U[b][:, :nblk_u, :k].reshape(3, -1)
                 continue
             if rs_mode != "paged":
                 # full chain over every block of the group
@@ -849,9 +835,10 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
                     .reshape(3, rs.N, g * nblk_p)
                 d_g, ok_g = rs._correct_pm(
                     g_rd, Sg.reshape(3, r, g * nblk_p), k)
-                slabs.append(d_g.reshape(3, k, g, nblk_p)
-                             .transpose(2, 0, 3, 1)[:, :, :nblk_u]
-                             .reshape(3 * g, -1))
+                data = d_g.reshape(3, k, g, nblk_p)
+                for gi, b in enumerate(bands):
+                    streams[b] = data[:, :, gi, :nblk_u] \
+                        .transpose(0, 2, 1).reshape(3, -1)
                 oks.append(ok_g)
                 continue
             dirty = jnp.any(Sg.reshape(3 * r, g, nblk_p) != 0, axis=0)
@@ -890,29 +877,29 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
             okb = jnp.where(use_corr[:, None], ok_pages,
                             (~dirty).reshape(g * npage, page))
             oks.append(okb.reshape(-1))
-            base = U[barr][:, :, :, :k]                  # (g, 3, nblk_p, k)
-            slabs.append(_m3i(base + delta)[:, :, :nblk_u]
-                         .reshape(3 * g, -1))
+            for gi, b in enumerate(bands):
+                base = U[b][:, :, :k]                    # (3, nblk_p, k)
+                streams[b] = _m3i(base + delta[gi])[:, :nblk_u] \
+                    .reshape(3, -1)
         # beacon band: its rows skip the beacon cells -> per-band gather
         if bc_band >= 0 and geom.blocks[bc_band]:
             nblk, k = geom.blocks[bc_band], geom.ks[bc_band]
-            row_ids += [3 * bc_band + d for d in range(3)]
             band = dig[3 * bc_band:3 * bc_band + 3]
             rows = _beacon_payload_rows(geom.usable[bc_band],
                                         beacon.words_period)
             band = band[:, rows][:, :nblk * rs.N].reshape(3, nblk, rs.N)
             if rs_mode == "none":
-                slabs.append(band[:, :, :k].reshape(3, -1))
+                streams[bc_band] = band[:, :, :k].reshape(3, -1)
             elif rs_mode == "check":
                 Sb = rs.syndromes_pm_bk(band, k)
                 oks.append(~jnp.any(
                     Sb.reshape(-1, nblk) != 0, axis=0))
-                slabs.append(band[:, :, :k].reshape(3, -1))
+                streams[bc_band] = band[:, :, :k].reshape(3, -1)
             else:
                 d_b, ok_b = rs.decode_paged_pm_bk(band, k, page=16,
                                                   max_dirty_pages=4) \
                     if rs_mode == "paged" else rs.decode_pm_bk(band, k)
-                slabs.append(d_b.reshape(3, -1))
+                streams[bc_band] = d_b.reshape(3, -1)
                 oks.append(ok_b)
         # assemble (27, max_d) and regroup to words: the lane-crossing
         # 27-grid-trits -> 26-trit-words regroup FUSED with the trit->
@@ -920,16 +907,12 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
         # (_unpack702) -- no flat/reshape relayout chain
         max_dp = -(-max(max_d, 1) // 26) * 26
         MB = max_dp // 26
-        covered = set(row_ids)
+        parts = []
         for b in range(NUM_BANDS):
-            if 3 * b not in covered:
-                row_ids += [3 * b + d for d in range(3)]
-                slabs.append(jnp.zeros((3, max_dp), dtype=jnp.int8))
-        slabs = [jnp.pad(s, ((0, 0), (0, max_dp - s.shape[1])))
-                 for s in slabs]
-        inv = np.empty(27, dtype=np.int64)
-        inv[np.asarray(row_ids)] = np.arange(27)
-        M27 = jnp.concatenate(slabs, axis=0)[inv]        # (27, max_dp)
+            s = (streams[b] if streams[b] is not None
+                 else jnp.zeros((3, 0), dtype=jnp.int8))
+            parts.append(jnp.pad(s, ((0, 0), (0, max_dp - s.shape[1]))))
+        M27 = jnp.concatenate(parts, axis=0)             # (27, max_dp)
         blocks27 = M27.reshape(27, MB, 26).transpose(1, 0, 2)
         wout = lax.dot_general(blocks27, jnp.asarray(_unpack702()),
                                (((1, 2), (0, 1)), ((), ())),
