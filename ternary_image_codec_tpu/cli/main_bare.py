@@ -8,6 +8,7 @@ trit stream), like the reference binary.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 import numpy as np
@@ -69,6 +70,7 @@ def main(argv=None) -> int:
     ap.add_argument("--outdir", default=".")
     ap.add_argument("--verbose", action="store_true")
     args = ap.parse_args(argv)
+    os.makedirs(args.outdir, exist_ok=True)
 
     ok_rs = selftest_rs_unit(args.verbose)
     ok_api = selftest_api_roundtrip(args.verbose)
