@@ -25,11 +25,14 @@ def _run_one(rgb, sub: SubwordMode, codec: str, tol: int) -> dict:
     # tolerance check (src/minitest_images.cpp Test A semantics)
     src = np.asarray(Q.resize_nn(jnp.asarray(rgb), h, w))
     diff = int(np.abs(out.astype(int) - src.astype(int)).max())
+    # signatures cover the WHOLE payload (src/minitest_images.cpp:160-206
+    # signs the full words buffer); the table/C CRC makes this cheap even
+    # for S27 word13 (~130 MB)
     return {
         "mode": sub.name, "codec": codec, "w": w, "h": h,
         "words": int(wn.shape[0]),
-        "crc12": f"{crc12_0x80F(raw[:65536]):03X}",
-        "parity3": parity_mod3(raw[:65536]),
+        "crc12": f"{crc12_0x80F(raw):03X}",
+        "parity3": parity_mod3(raw),
         "max_diff": diff,
         "ok": diff <= tol,
     }
@@ -47,7 +50,11 @@ def main(argv=None) -> int:
 
     rgb = I.load_image_rgb8(args.infile)
     if args.matrix:
-        combos = [(s, c) for s in (SubwordMode.S15, SubwordMode.S18)
+        # full sweep: every subword mode x both word codecs (the reference's
+        # --matrix covers its whole mode set, src/minitest_images.cpp:160-206)
+        combos = [(s, c) for s in (SubwordMode.S15, SubwordMode.S18,
+                                   SubwordMode.S21, SubwordMode.S24,
+                                   SubwordMode.S27)
                   for c in ("word13", "word9")]
     else:
         combos = [(SubwordMode[args.mode], args.codec)]

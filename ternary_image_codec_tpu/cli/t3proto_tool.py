@@ -77,13 +77,15 @@ def _cmd_encode(args) -> int:
 
 
 def _cmd_info(args) -> int:
+    # header peek only -- O(header+meta), payload never read (matches the
+    # reference's header-peek info path, src/t3proto_tool.cpp)
     try:
-        prof, w, h, bal, packed, meta = LC.t3proto_read(args.path)
+        prof, w, h, flags, n_trits, n_bytes, meta = LC.t3proto_peek(args.path)
     except (ContainerError, OSError) as e:
         print(f"read failed: {args.path} ({e})", file=sys.stderr)
         return 1
-    ntr = bal.size if bal is not None else 0
-    nby = packed.size if packed is not None else 0
+    ntr = n_trits if flags & LC.F_BAL_PRESENT else 0
+    nby = n_bytes if flags & LC.F_PACK_PRESENT else 0
     if args.json:
         print(json.dumps({"t3proto": {
             "file": args.path, "profile": _pname(prof), "W": w, "H": h,

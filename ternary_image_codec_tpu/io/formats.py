@@ -62,16 +62,61 @@ def _load_tiff(path: str) -> np.ndarray:
     return I.load_image_rgb8(path)  # PIL handles scanline RGB8 TIFF
 
 
+def _exr_planes_openexr(path: str) -> np.ndarray:
+    """Read float RGB planes via the OpenEXR python bindings (the analog of
+    the reference's dedicated EXR backends: TinyEXR in src/io_tiff_exr.cpp:
+    103-131 and the Imf RgbaInputFile path in
+    old/src/io_image_tiff_exr.cpp:21-29).  Grayscale 'Y' files replicate to
+    RGB like the reference's Rgba reader does."""
+    import OpenEXR
+    if hasattr(OpenEXR, "InputFile"):       # classic bindings (1.x-3.x)
+        import Imath
+        f = OpenEXR.InputFile(path)
+        hdr = f.header()
+        dw = hdr["dataWindow"]
+        w = dw.max.x - dw.min.x + 1
+        h = dw.max.y - dw.min.y + 1
+        names = set(hdr["channels"].keys())
+        pt = Imath.PixelType(Imath.PixelType.FLOAT)
+
+        def chan(c):
+            return np.frombuffer(f.channel(c, pt),
+                                 dtype=np.float32).reshape(h, w)
+
+        if {"R", "G", "B"} <= names:
+            planes = [chan(c) for c in ("R", "G", "B")]
+        elif "Y" in names:
+            planes = [chan("Y")] * 3
+        else:
+            raise FormatUnavailable(f"EXR: no RGB or Y channels in {path}")
+        return np.stack(planes, axis=-1).astype(np.float64)
+    # OpenEXR >= 3.2 "File" API (no InputFile symbol)
+    part = OpenEXR.File(path).parts[0]
+    ch = {name: c.pixels for name, c in part.channels.items()}
+    if "RGB" in ch:
+        return np.asarray(ch["RGB"], dtype=np.float64)[..., :3]
+    if {"R", "G", "B"} <= ch.keys():
+        return np.stack([np.asarray(ch[c], dtype=np.float64)
+                         for c in ("R", "G", "B")], axis=-1)
+    if "Y" in ch:
+        y = np.asarray(ch["Y"], dtype=np.float64)
+        return np.stack([y] * 3, axis=-1)
+    raise FormatUnavailable(f"EXR: no RGB or Y channels in {path}")
+
+
 def _load_exr(path: str) -> np.ndarray:
     """Float EXR -> u8 RGB with the reference's TinyEXR-style mapping:
-    clamp(lround(v*255), 0, 255) per channel (src/io_tiff_exr.cpp EXR path)."""
-    if _has("imageio"):
+    clamp(lround(v*255), 0, 255) per channel (src/io_tiff_exr.cpp:124-127;
+    the old tree's round(clamp(v,0,1)*255) at old/src/io_image_tiff_exr.cpp:27
+    yields identical bytes).  OpenEXR bindings are preferred when importable;
+    imageio is the fallback reader."""
+    if _has("OpenEXR"):
+        f = _exr_planes_openexr(path)
+    elif _has("imageio"):
         import imageio.v3 as iio
         f = np.asarray(iio.imread(path)).astype(np.float64)
-    elif _has("OpenEXR"):
-        raise FormatUnavailable("OpenEXR python path not wired in this build")
     else:
-        raise FormatUnavailable("EXR support requires imageio or OpenEXR")
+        raise FormatUnavailable("EXR support requires OpenEXR or imageio")
     if f.ndim == 2:
         f = np.stack([f] * 3, axis=-1)
     f = f[..., :3]
@@ -81,6 +126,30 @@ def _load_exr(path: str) -> np.ndarray:
 
 _LOADERS = {"heif": _load_heif_avif, "avif": _load_heif_avif,
             "tiff": _load_tiff, "exr": _load_exr}
+
+
+def _save_exr_openexr(path: str, f32: np.ndarray) -> None:
+    """Write float32 RGB via OpenEXR bindings (mirrors the reference's
+    SaveEXR-as-FP32 call, src/io_tiff_exr.cpp:131-149)."""
+    import OpenEXR
+    h, w = f32.shape[:2]
+    planes = [np.ascontiguousarray(f32[..., i], dtype=np.float32)
+              for i in range(3)]
+    if hasattr(OpenEXR, "OutputFile"):      # classic bindings
+        import Imath
+        hdr = OpenEXR.Header(w, h)
+        ch = Imath.Channel(Imath.PixelType(Imath.PixelType.FLOAT))
+        hdr["channels"] = {c: ch for c in ("R", "G", "B")}
+        out = OpenEXR.OutputFile(path, hdr)
+        try:
+            out.writePixels({c: p.tobytes()
+                             for c, p in zip("RGB", planes)})
+        finally:
+            out.close()
+        return
+    # OpenEXR >= 3.2 "File" API
+    OpenEXR.File({"channels": {c: p for c, p in zip("RGB", planes)}}) \
+        .write(path)
 
 
 def _save(fmt: str, path: str, rgb: np.ndarray) -> None:
@@ -96,10 +165,14 @@ def _save(fmt: str, path: str, rgb: np.ndarray) -> None:
     elif fmt == "tiff":
         im.save(path, format="TIFF")
     elif fmt == "exr":
-        if not _has("imageio"):
-            raise FormatUnavailable("EXR save requires imageio")
-        import imageio.v3 as iio
-        iio.imwrite(path, (np.asarray(rgb, np.float32) / 255.0))
+        f32 = np.asarray(rgb, np.float32) / 255.0
+        if _has("OpenEXR"):
+            _save_exr_openexr(path, f32)
+        elif _has("imageio"):
+            import imageio.v3 as iio
+            iio.imwrite(path, f32)
+        else:
+            raise FormatUnavailable("EXR save requires OpenEXR or imageio")
     else:
         raise FormatUnavailable(f"unknown format: {fmt}")
 

@@ -37,7 +37,7 @@ __all__ = [
     "T3VOldHeader", "t3v_old_write", "t3v_old_read_header",
     "t3v_old_read_frames", "t3v_old_append_frame",
     "t3vi_write", "t3vi_read", "t3v_scan_and_index",
-    "t3proto_write", "t3proto_read", "infer_ntrits_from_meta",
+    "t3proto_write", "t3proto_read", "t3proto_peek", "infer_ntrits_from_meta",
     "meta_find_int",
     "subword_to_code", "code_to_subword",
 ]
@@ -522,6 +522,26 @@ def t3proto_write(path: str, profile: ProtoProfile, w: int, h: int,
             f.write((np.clip(bal, -1, 1) + 1).astype(np.uint8).tobytes())
         if has_pack:
             f.write(pack.tobytes())
+
+
+def t3proto_peek(path: str) -> Tuple[ProtoProfile, int, int, int, int, int,
+                                     str]:
+    """Header-only peek -> (profile, w, h, flags, n_trits, n_bytes, meta).
+
+    Reads the fixed header + meta JSON and never touches the payload
+    streams -- O(header + meta) like the reference's header-peek path
+    (src/t3proto_tool.cpp info subcommand), not O(file)."""
+    with open(path, "rb") as f:
+        if f.read(4) != b"T3PT":
+            raise ContainerError("t3proto: bad magic")
+        ver, prof, flags, w, h = struct.unpack("<BBHII", f.read(12))
+        if ver != 1:
+            raise ContainerError("t3proto: unsupported version")
+        n_trits, n_bytes, meta_len = struct.unpack("<QQI", f.read(20))
+        meta = f.read(meta_len).decode("utf-8") if meta_len else ""
+        if len(meta.encode("utf-8")) != meta_len:
+            raise ContainerError("t3proto: truncated meta")
+    return ProtoProfile(prof), w, h, flags, n_trits, n_bytes, meta
 
 
 def t3proto_read(path: str, want_balanced: bool = True, want_packed: bool = True

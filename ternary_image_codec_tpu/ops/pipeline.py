@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -228,6 +229,50 @@ def _grouped_rs(items, op, axis: int = 0):
 
 
 @functools.cache
+def _pack702():
+    """Encode-direction 702-period permutation: one block = 27 RAW words
+    (27 word-local trits each, spare trit 26 dropped) -> 26 grid columns x
+    27 rows.  P[r*26 + i, 27*w + t] = 1 iff 26*w + t == 27*i + r (t < 26).
+
+    Lets the whole 26-trits/word -> (27, m) grid relayout
+    (old/include/ternary_image_codec_v6_min.hpp:1051-1082) run as ONE MXU
+    contraction instead of an XLA reshape/transpose chain."""
+    P = np.zeros((702, 729), dtype=np.int8)
+    for i in range(26):
+        for r in range(27):
+            w, t = divmod(27 * i + r, 26)
+            P[r * 26 + i, 27 * w + t] = 1
+    return P
+
+
+@functools.cache
+def _unpack702_bw():
+    """_unpack702 with the word axis reordered to (band, word): last axis
+    index b*27 + w instead of w*9 + b, so the decode assembly dot can emit
+    wire-planes (9, MB*27) with only a minor-dims transpose."""
+    C = _unpack702()
+    idx = np.arange(27 * NUM_BANDS)
+    return C[:, :, (idx % 27) * NUM_BANDS + idx // 27]
+
+
+@functools.cache
+def _stream702():
+    """Stream-plane -> wire-words contraction for the P5 decode assembly:
+    one block = 234 stream symbols (702 trits) -> 27 words x 9 symbols,
+    from the (3, L) stream-plane layout (digit d of stream symbol i).
+    K[d, i, b*27 + w] = 3^dd where stream trit 3i + d is trit 3b + dd of
+    word w in the block."""
+    K = np.zeros((3, 234, 243), dtype=np.int8)
+    for i in range(234):
+        for d in range(3):
+            T = 3 * i + d
+            w, t = divmod(T, 26)
+            b, dd = divmod(t, 3)
+            K[d, i, b * 27 + w] = 3 ** dd
+    return K
+
+
+@functools.cache
 def _unpack702():
     """Inverse direction fused with the trit->symbol pack: one grid-column
     block (27 rows x 26 cols) -> 27 words x 9 symbols.  C[r, i, w*9 + b] =
@@ -259,6 +304,10 @@ def _pm_offsets(H: int, seed, sign: float):
     return jnp.where(h_even[None, :], A[:, None], Bv[:, None])  # (27, H)
 
 
+def _is_p5(profile, tile) -> bool:
+    return profile == ProfileID.P5_RS26_22_2D and bool(tile.w and tile.h)
+
+
 @functools.cache
 def _encode_parts(layout: EncodeLayout):
     """Encode split into (to_cols, rs_stage, build_words) for stage-level
@@ -266,14 +315,15 @@ def _encode_parts(layout: EncodeLayout):
     them into the one fused jit the pipeline ships.
 
     Dispatches to the plane-major implementation (digit axis leading, word
-    axis minor -- measured ~16x cheaper HBM tiling, tools/hbm_probe.py);
-    the P5 2D-interleave profile keeps the coeff-minor path (its symbol
-    permutation is written against the (n, 3) stream layout).
+    axis minor -- measured ~16x cheaper HBM tiling, tools/hbm_probe.py).
+    The P5 2D-interleave profile shares it (the symbol permutation runs on
+    the stream-plane (3, L) layout inside to_cols); T3_P5_IMPL=cm keeps the
+    round-1 coeff-minor path for A/B.
 
     Returns (to_cols, rs_stage, build_words, fmt): fmt "pm" build_words
     emits wire-planes (9, total_words); fmt "cm" emits (total_words, 9)."""
-    if (layout.cfg.profile == ProfileID.P5_RS26_22_2D
-            and layout.cfg.tile.w and layout.cfg.tile.h):
+    if (_is_p5(layout.cfg.profile, layout.cfg.tile)
+            and os.environ.get("T3_P5_IMPL", "pm") == "cm"):
         return _encode_parts_cm(layout) + ("cm",)
     return _encode_parts_pm(layout) + ("pm",)
 
@@ -390,21 +440,59 @@ def _encode_parts_pm(layout: EncodeLayout):
     bsym_dig = np.asarray([geom.beacon_sym % 3, (geom.beacon_sym // 3) % 3,
                            (geom.beacon_sym // 9) % 3], dtype=np.int8)
 
-    def to_cols(raw_words):
-        # words (sf, 9) -> trit stream -> (27, max_need) grid: trit
-        # 27j + 3b + d is digit d of stream symbol 9j + b, so the whole
-        # round-robin band split is ONE (m, 27) -> (27, m) transpose.
-        # (A 702-period permutation-matmul variant measured SLOWER here,
-        # unlike the decode direction -- docs/PERF.md.)
+    cols_impl = os.environ.get("T3_ENC_COLS", "dot702")
+    p5 = _is_p5(cfg.profile, cfg.tile)
+    if p5:
+        # decoder-visible stream length; both sides permute at this length
+        # (see _encode_parts_cm for the derivation)
+        dlens5 = [geom.blocks[b] * geom.ks[b] for b in range(NUM_BANDS)]
+        L_out5 = int(min(NUM_BANDS * dlens5[b] + b for b in range(NUM_BANDS)))
+        assert L_out5 >= n_sy
+
+    def _digits27(raw_words):
+        # words (sf, 9) -> word-major trit planes (sf, 27): trit 3b + d of
+        # word w is digit d of symbol b (exact f32 divmod, docs/PERF.md)
         s = raw_words.astype(jnp.float32)
         q1 = jnp.floor(s * (1.0 / 3.0))
         q2 = jnp.floor(s * (1.0 / 9.0))
-        t27 = jnp.stack([s - 3.0 * q1, q1 - 3.0 * q2,
-                         q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0))],
-                        axis=-1).astype(jnp.int8)
-        flat = t27.reshape(-1, 27)[:, :26].reshape(-1)
-        flat = jnp.pad(flat, (0, 27 * max_need - flat.shape[0]))
-        return flat.reshape(max_need, 27).T                    # (27, m)
+        return jnp.stack([s - 3.0 * q1, q1 - 3.0 * q2,
+                          q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0))],
+                         axis=-1).astype(jnp.int8).reshape(-1, 27)
+
+    def to_cols(raw_words):
+        # words -> (27, max_need) grid: trit 27j + 3b + d of the useful-trit
+        # stream is digit d of stream symbol 9j + b, so the grid is the
+        # 26-trits/word stream re-strided to 27 rows.  Default "dot702":
+        # the whole 26<->27 re-stride is ONE 702-period permutation
+        # contraction on the MXU (blocks of 27 words -> 26 grid columns,
+        # mirror of the decode-side _unpack702); "chain" keeps the
+        # reshape/transpose chain for A/B (T3_ENC_COLS).
+        t27 = _digits27(raw_words)                             # (sf, 27)
+        if p5:
+            # P5: interleave the symbol stream in stream-plane (3, L)
+            # layout -- whole tiles are a reshape+row-flip, no gather
+            # (ops/interleave.py); then fold to the (27, m) grid.
+            flat = t27[:, :26].reshape(-1)
+            flat = jnp.pad(flat, (0, 3 * L_out5 - flat.shape[0]))
+            st = flat.reshape(L_out5, 3).T                     # (3, L)
+            st = interleave.interleave(st, cfg.tile.w, cfg.tile.h)
+            st = jnp.pad(st,
+                         ((0, 0), (0, NUM_BANDS * max_need - L_out5)))
+            return st.reshape(3, max_need, NUM_BANDS) \
+                .transpose(2, 0, 1).reshape(27, max_need)
+        if cols_impl == "chain" or max_need == 0:
+            flat = t27[:, :26].reshape(-1)
+            flat = jnp.pad(flat, (0, 27 * max_need - flat.shape[0]))
+            return flat.reshape(max_need, 27).T                # (27, m)
+        nblk7 = -(-max_need // 26)
+        t27 = jnp.pad(t27, ((0, nblk7 * 27 - t27.shape[0]), (0, 0)))
+        X2 = t27.reshape(nblk7, 729)                           # view: 27w+t
+        Y = lax.dot_general(jnp.asarray(_pack702()), X2,
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32)  # (702, nblk7)
+        grid = Y.astype(jnp.int8).reshape(27, 26, nblk7) \
+            .swapaxes(1, 2).reshape(27, 26 * nblk7)
+        return grid[:, :max_need]
 
     bc_band = beacon.band_slot if beacon.enabled else -1
     by_k = {}
@@ -721,9 +809,13 @@ def _decode_body_fn(layout: DecodeLayout, rs_mode: str = "paged",
     flags but nothing is corrected (cheap scrubbing of stored streams).
     rs_mode="none": trust the stream, skip the RS stage entirely (ok=True;
     fastest read path for storage already protected end-to-end).
+
+    P5 shares the plane-major decoder (its deinterleave runs on the
+    stream-plane layout in the assembly stage); T3_P5_IMPL=cm keeps the
+    round-1 coeff-minor path for A/B.
     """
-    if (layout.hdr.profile == ProfileID.P5_RS26_22_2D
-            and layout.hdr.tile.w and layout.hdr.tile.h):
+    if (_is_p5(layout.hdr.profile, layout.hdr.tile)
+            and os.environ.get("T3_P5_IMPL", "pm") == "cm"):
         return _decode_body_fn_cm(layout, rs_mode, wire)
     return _decode_body_fn_pm2(layout, rs_mode, wire)
 
@@ -773,6 +865,7 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
     from .gf27 import _m3i, fmod3
     hdr, geom = layout.hdr, layout.geom
     beacon = hdr.beacon
+    p5 = _is_p5(hdr.profile, hdr.tile)
     H = geom.H
     dlens = [geom.blocks[b] * geom.ks[b] for b in range(NUM_BANDS)]
     max_d = max(dlens) if dlens else 0
@@ -913,13 +1006,43 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
                  else jnp.zeros((3, 0), dtype=jnp.int8))
             parts.append(jnp.pad(s, ((0, 0), (0, max_dp - s.shape[1]))))
         M27 = jnp.concatenate(parts, axis=0)             # (27, max_dp)
-        blocks27 = M27.reshape(27, MB, 26).transpose(1, 0, 2)
-        wout = lax.dot_general(blocks27, jnp.asarray(_unpack702()),
-                               (((1, 2), (0, 1)), ((), ())),
-                               preferred_element_type=jnp.int32) \
-            .astype(jnp.int8)                            # (MB, 243)
-        out_T = wout.reshape(MB, 27, NUM_BANDS).transpose(2, 0, 1) \
-            .reshape(NUM_BANDS, MB * 27)[:, :layout.n_out_words]
+        if p5:
+            # P5: fold the grid to stream-planes (3, L), deinterleave
+            # (reshape+row-flip for whole tiles), then ONE contraction
+            # regroups 234 stream symbols -> 27 words (_stream702)
+            st = M27.reshape(NUM_BANDS, 3, max_dp).transpose(1, 2, 0) \
+                .reshape(3, NUM_BANDS * max_dp)[:, :layout.L_out]
+            st = interleave.deinterleave(st, hdr.tile.w, hdr.tile.h)
+            nb27 = -(-layout.L_out // 234)
+            st = jnp.pad(st, ((0, 0), (0, nb27 * 234 - layout.L_out)))
+            wT = lax.dot_general(jnp.asarray(_stream702()),
+                                 st.reshape(3, nb27, 234),
+                                 (((0, 1), (0, 2)), ((), ())),
+                                 preferred_element_type=jnp.int32) \
+                .astype(jnp.int8)                        # (243, nb27)
+            out_T = wT.reshape(NUM_BANDS, 27, nb27).transpose(0, 2, 1) \
+                .reshape(NUM_BANDS, nb27 * 27)[:, :layout.n_out_words]
+        elif os.environ.get("T3_DEC_ASM", "v2") == "v1":
+            # v1: explicit block transpose feeding the unpack dot
+            blocks27 = M27.reshape(27, MB, 26).transpose(1, 0, 2)
+            wout = lax.dot_general(blocks27, jnp.asarray(_unpack702()),
+                                   (((1, 2), (0, 1)), ((), ())),
+                                   preferred_element_type=jnp.int32) \
+                .astype(jnp.int8)                        # (MB, 243)
+            out_T = wout.reshape(MB, 27, NUM_BANDS).transpose(2, 0, 1) \
+                .reshape(NUM_BANDS, MB * 27)[:, :layout.n_out_words]
+        else:
+            # v2 (default): contract (row, in-block col) in place -- the
+            # operand transpose rides the dot_general dimension numbers
+            # instead of a materialized relayout; the (band, word) output
+            # ordering leaves only a minor-dims transpose to wire-planes
+            wT = lax.dot_general(jnp.asarray(_unpack702_bw()),
+                                 M27.reshape(27, MB, 26),
+                                 (((0, 1), (0, 2)), ((), ())),
+                                 preferred_element_type=jnp.int32) \
+                .astype(jnp.int8)                        # (243, MB)
+            out_T = wT.reshape(NUM_BANDS, 27, MB).transpose(0, 2, 1) \
+                .reshape(NUM_BANDS, MB * 27)[:, :layout.n_out_words]
         ok_all = (jnp.all(jnp.concatenate(oks)) if oks
                   else jnp.asarray(True))
         return out_T, ok_all
@@ -944,7 +1067,14 @@ def _ceil_div(a: int, b: int) -> int:
 
 
 @functools.cache
-def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged"):
+def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged",
+                ok_per_sf: bool = False):
+    """Build the jitted stream encode/decode pair for one config.
+
+    ok_per_sf=False (default): dec_stream returns (raw, ok_scalar).
+    ok_per_sf=True: dec_stream returns (raw, ok (n_sf,)) -- per-superframe
+    flags (body blocks AND header match), so the two-phase auto decode can
+    re-dispatch the corrector on ONLY the dirty superframes."""
     if rs_mode == "legacy":    # historical alias (pre-paged full chain)
         rs_mode = "full"
     layout = build_encode_layout(cfg, cfg.superframe_words)
@@ -994,6 +1124,7 @@ def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged"):
         n = words.shape[0]
         raw, ok = lax.map(dec_body, _rebatch(words[:, :, HEADER_WORDS:]))
         raw = raw.reshape(-1, NUM_BANDS, dlayout.n_out_words)[:n]
+        ok = ok.reshape(-1)[:n]                     # (n,) per superframe
         # header symbols word-major: (9, 6) slab -> (6, 9) -> 54
         sy = words[:, :, :HEADER_WORDS].swapaxes(1, 2) \
             .reshape(n, HEADER_WORDS * NUM_BANDS)
@@ -1008,6 +1139,10 @@ def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged"):
         hdr_dig, ok_h = rs.decode_paged_pm_bk(dig, 18, page=64)
         exp = jnp.broadcast_to(jnp.asarray(exp_pm)[:, :, None, :],
                                (3, 2, n, 18)).reshape(3, 2 * n, 18)
+        if ok_per_sf:
+            hdr_sf = (ok_h & jnp.all(hdr_dig == exp, axis=(0, 2))) \
+                .reshape(2, n).all(axis=0)          # (n,)
+            return raw, ok & hdr_sf
         hdr_ok = jnp.all(ok_h) & jnp.all(hdr_dig == exp)
         return raw, jnp.all(ok) & hdr_ok
 
@@ -1054,11 +1189,13 @@ def decode_stream_superframes(words, cfg: EncoderConfig, n_raw: int,
 
     strategy="auto" (default) is the production two-phase decode: phase 1
     verifies + extracts in one dispatch (rs_mode="check" -- a full
-    syndrome check of every block, no correction machinery); only when
-    the stream flags dirty does phase 2 dispatch the page-compacted
-    corrector.  Intact streams -- the overwhelmingly common case -- never
-    pay for correction.  The branch lives on the HOST: a device-side
-    lax.cond was measured SLOWER than just always correcting
+    syndrome check of every block, no correction machinery) and returns
+    per-superframe dirty flags; phase 2 dispatches the page-compacted
+    corrector on ONLY the flagged superframes (host-level gather), so a
+    single flipped trit costs one small repair dispatch, not a full
+    re-decode of the stream.  Intact streams -- the overwhelmingly common
+    case -- never pay for correction.  The branch lives on the HOST: a
+    device-side lax.cond was measured SLOWER than just always correcting
     (docs/PERF.md).  strategy="paged"/"full"/"check"/"none" force a
     single-phase decode with that rs_mode.
     """
@@ -1066,12 +1203,21 @@ def decode_stream_superframes(words, cfg: EncoderConfig, n_raw: int,
     words_T = jnp.swapaxes(words, 1, 2)
     if strategy == "auto":
         _l, _d, _enc, dec_check = _stream_fns(cfg, sf_batch,
-                                              rs_mode="check")
-        raw_T, ok = dec_check(words_T)
-        if not bool(ok):
+                                              rs_mode="check",
+                                              ok_per_sf=True)
+        raw_T, ok_sf = dec_check(words_T)
+        bad = np.flatnonzero(~np.asarray(ok_sf))
+        ok = jnp.asarray(bad.size == 0)
+        if bad.size:
+            # phase 2: repair pass over just the dirty superframes (same
+            # micro-batch size as phase 1 -- a fresh size would recompile;
+            # _rebatch pads a partial batch by repeating the last chunk)
             _l, _d, _enc, dec_fix = _stream_fns(cfg, sf_batch,
-                                                rs_mode="paged")
-            raw_T, ok = dec_fix(words_T)
+                                                rs_mode="paged",
+                                                ok_per_sf=True)
+            fix_T, ok_fix = dec_fix(words_T[jnp.asarray(bad)])
+            raw_T = raw_T.at[jnp.asarray(bad)].set(fix_T)
+            ok = jnp.all(ok_fix)
     else:
         _l, _d, _enc, dec = _stream_fns(cfg, sf_batch, rs_mode=strategy)
         raw_T, ok = dec(words_T)

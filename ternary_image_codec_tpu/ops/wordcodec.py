@@ -12,8 +12,7 @@ has two incompatible Word27 ABIs across its trees; we keep both as modes):
 
 Quantized pixel streams are (n, 3) int32 arrays [Yq, Cbq, Crq] with
 Yq in [0,242], Cbq/Crq in [-40,40].  Everything is elementwise/reshape math
-(VPU-friendly); the word9 hot path also has a Pallas kernel variant in
-ops/pallas_kernels.py.
+(VPU-friendly).
 """
 from __future__ import annotations
 

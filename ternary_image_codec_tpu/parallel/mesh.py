@@ -55,6 +55,40 @@ def encode_frames_dp(raw_frames, cfg: EncoderConfig, mesh: Mesh):
     return enc(jnp.asarray(raw_frames))
 
 
+def decode_frames_dp(words, cfg: EncoderConfig, mesh: Mesh,
+                     rs_mode: str = "paged"):
+    """Decode a batch of identically-shaped profile frames, frame-sharded.
+
+    words: (B, total, 9) int8 profile words (header + body per frame).
+    Returns (raw (B, n_out, 9), ok (B,), all_ok) -- per-frame ok flags stay
+    frame-sharded; the all_ok scalar is the cross-chip psum-style reduction
+    (XLA lowers jnp.all over the sharded axis to an ICI collective).
+    rs_mode selects the correction strategy (see pipeline._decode_body_fn).
+    """
+    from ..config import SuperframeHeader
+    B, total, _ = words.shape
+    sf_hdr = SuperframeHeader(profile=cfg.profile, uep=cfg.uep, tile=cfg.tile,
+                              seed=cfg.seed, beacon=cfg.beacon,
+                              subword=cfg.subword, centered=cfg.centered,
+                              coset=cfg.coset)
+    dec_layout = pipeline.build_decode_layout(
+        sf_hdr, total - pipeline.HEADER_WORDS)
+    dec_one = pipeline._decode_body_fn(dec_layout, rs_mode)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=NamedSharding(mesh, PSpec("data", None, None)),
+        out_shardings=(NamedSharding(mesh, PSpec("data", None, None)),
+                       NamedSharding(mesh, PSpec("data")),
+                       NamedSharding(mesh, PSpec())))
+    def dec(ws):
+        raw, ok = jax.vmap(
+            lambda p: dec_one(p[pipeline.HEADER_WORDS:]))(ws)
+        return raw, ok, jnp.all(ok)
+
+    return dec(jnp.asarray(words))
+
+
 def roundtrip_step_dp(raw_frames, cfg: EncoderConfig, mesh: Mesh):
     """Full encode->decode step over a frame batch with DP sharding.
 
@@ -142,7 +176,12 @@ def encode_stream_sharded(raw_words, cfg: EncoderConfig, mesh: Mesh):
     n_raw = raw_words.shape[0]
     layout = pipeline.build_encode_layout(cfg, n_raw)
     enc_one = pipeline._encode_fn(layout)
+    # the profile word count (header + RS-padded body) is rarely divisible
+    # by the mesh size -- only pin the output sharding when it is, else let
+    # GSPMD choose (the input stays sharded either way)
+    out_spec = (PSpec("data", None)
+                if layout.total_words % mesh.devices.size == 0 else PSpec())
     fn = jax.jit(enc_one,
                  in_shardings=NamedSharding(mesh, PSpec("data", None)),
-                 out_shardings=NamedSharding(mesh, PSpec("data", None)))
+                 out_shardings=NamedSharding(mesh, out_spec))
     return fn(jnp.asarray(raw_words))

@@ -21,6 +21,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# NaN tripwire for the float-trit paths (SURVEY.md section 5 sanitizer plan):
+# all hot mod-3 math runs in f32 (docs/PERF.md) on the exactness argument
+# that values stay small integers -- debug_nans turns any violation that
+# produces a NaN into a hard error instead of silent corruption.
+jax.config.update("jax_debug_nans", True)
 # Cache compiled executables across test runs (the unrolled RS decoder is
 # ~10 s of XLA:CPU compile per (batch, k) shape; the suite hits dozens).
 jax.config.update("jax_compilation_cache_dir",

@@ -1,0 +1,155 @@
+"""Multi-device tests for parallel/mesh.py on the virtual 8-CPU mesh.
+
+Covers every mesh entry point (SURVEY.md section 2.8 DP row): frame-DP
+encode, frame-DP decode with injected symbol errors, the fused roundtrip
+step, superframe-DP over one large frame at the realistic superframe size
+(8192 words, the reference default), and word-stream sharding.  Each path
+is checked against the single-device pipeline for both decoded bytes and
+ok-flag reduction semantics.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ternary_image_codec_tpu.config import (EncoderConfig, ProfileID,
+                                            uep_luma_priority, uep_uniform)
+from ternary_image_codec_tpu.ops import pipeline
+from ternary_image_codec_tpu.parallel import mesh as M
+
+
+def make_raw_words(n, seed=0):
+    r = np.random.default_rng(seed)
+    t = r.integers(0, 3, size=(n, 27)).astype(np.int8)
+    t[:, 26] = 0
+    return (t.reshape(n, 9, 3) * np.array([1, 3, 9])).sum(-1).astype(np.int8)
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must force an 8-device mesh"
+    return M.make_mesh(8)
+
+
+class TestFrameDP:
+    def test_encode_frames_dp_matches_single(self, mesh8):
+        cfg = EncoderConfig(profile=ProfileID.P2_RS26_22,
+                            uep=uep_luma_priority())
+        B, n_raw = 8, 192
+        frames = np.stack([make_raw_words(n_raw, seed=i) for i in range(B)])
+        prof = np.asarray(M.encode_frames_dp(frames, cfg, mesh8))
+        for i in range(B):
+            ref = np.asarray(pipeline.encode_profile_from_raw(
+                jnp.asarray(frames[i]), cfg))
+            np.testing.assert_array_equal(prof[i], ref)
+
+    def test_roundtrip_step_dp(self, mesh8):
+        cfg = EncoderConfig(profile=ProfileID.P1_RS26_24, uep=uep_uniform(0))
+        B, n_raw = 8, 128
+        frames = np.stack([make_raw_words(n_raw, seed=10 + i)
+                           for i in range(B)])
+        out, ok = M.roundtrip_step_dp(frames, cfg, mesh8)
+        assert bool(ok)
+        out = np.asarray(out)
+        np.testing.assert_array_equal(out[:, :n_raw], frames)
+
+    def test_decode_frames_dp_corrects_injected_errors(self, mesh8):
+        """<= t symbol errors per codeword, spread across frames that live
+        on different devices, must correct exactly; decoded bytes AND
+        per-frame ok flags must match the single-device decode."""
+        cfg = EncoderConfig(profile=ProfileID.P3_RS26_20, uep=uep_uniform(2))
+        B, n_raw = 8, 160
+        frames = np.stack([make_raw_words(n_raw, seed=20 + i)
+                           for i in range(B)])
+        prof = np.asarray(M.encode_frames_dp(frames, cfg, mesh8)).copy()
+        r = np.random.default_rng(5)
+        # 2 errors per column in every frame (t=3 for P3)
+        for f in range(B):
+            for col in range(9):
+                rows = r.choice(prof.shape[1] - pipeline.HEADER_WORDS,
+                                size=2, replace=False)
+                cell = prof[f, pipeline.HEADER_WORDS + rows, col]
+                prof[f, pipeline.HEADER_WORDS + rows, col] = \
+                    (cell + 1 + r.integers(0, 26)) % 27
+        out, ok, all_ok = M.decode_frames_dp(prof, cfg, mesh8)
+        assert bool(all_ok) and bool(np.all(np.asarray(ok)))
+        np.testing.assert_array_equal(np.asarray(out)[:, :n_raw], frames)
+        # cross-check bytes + flags against the single-device body decode
+        for f in (0, 3, 7):
+            ref, _h, ref_ok = pipeline.decode_profile_to_raw(
+                jnp.asarray(prof[f]))
+            assert ref_ok == bool(np.asarray(ok)[f])
+            np.testing.assert_array_equal(np.asarray(out)[f],
+                                          np.asarray(ref))
+
+    def test_decode_frames_dp_flags_uncorrectable_frame(self, mesh8):
+        """Overwhelming one frame's codeword (on one device) must clear
+        that frame's ok flag and the global reduction, while the other
+        frames still decode exactly."""
+        cfg = EncoderConfig(profile=ProfileID.P1_RS26_24, uep=uep_uniform(0))
+        B, n_raw = 8, 128
+        frames = np.stack([make_raw_words(n_raw, seed=30 + i)
+                           for i in range(B)])
+        prof = np.asarray(M.encode_frames_dp(frames, cfg, mesh8)).copy()
+        bad = 5
+        # k=24 -> t=1: 5 errors in one column overwhelm a codeword
+        for row in range(5):
+            prof[bad, pipeline.HEADER_WORDS + row, 2] = (
+                prof[bad, pipeline.HEADER_WORDS + row, 2] + 1 + row % 2) % 27
+        out, ok, all_ok = M.decode_frames_dp(prof, cfg, mesh8)
+        ok = np.asarray(ok)
+        out = np.asarray(out)
+        # the global flag IS the reduction of the sharded per-frame flags
+        assert bool(all_ok) == bool(np.all(ok))
+        # miscorrection beyond distance is inherent to RS: the frame is
+        # either flagged or decodes to different bytes -- never silently ok
+        # with the original data (same semantics as the single-device test
+        # test_stream_beyond_capacity_never_silently_ok)
+        assert not (bool(ok[bad]) and np.array_equal(out[bad, :n_raw],
+                                                     frames[bad]))
+        good = [f for f in range(B) if f != bad]
+        assert np.all(ok[good])
+        np.testing.assert_array_equal(out[good][:, :n_raw], frames[good])
+
+
+class TestSuperframeDP:
+    def test_realistic_superframe_size(self, mesh8):
+        """One large frame at the reference-default superframe size (8192
+        words), superframe axis sharded over 8 devices, with a partial
+        tail superframe."""
+        cfg = EncoderConfig(profile=ProfileID.P2_RS26_22,
+                            uep=uep_luma_priority())  # superframe_words=8192
+        n_raw = 8192 * 15 + 4000  # -> 16 superframes, tail partially filled
+        raw = make_raw_words(n_raw, seed=40)
+        out, ok = M.roundtrip_superframes_dp(raw, cfg, mesh8)
+        assert bool(ok)
+        np.testing.assert_array_equal(np.asarray(out), raw)
+
+    def test_matches_single_device_stream(self, mesh8):
+        """Superframe-DP must produce the same bytes as the single-device
+        streaming pipeline (they share the per-superframe codec)."""
+        import dataclasses
+        cfg = dataclasses.replace(
+            EncoderConfig(profile=ProfileID.P1_RS26_24, uep=uep_uniform(0)),
+            superframe_words=256)
+        n_raw = 256 * 8
+        raw = make_raw_words(n_raw, seed=41)
+        out, ok = M.roundtrip_superframes_dp(raw, cfg, mesh8)
+        assert bool(ok)
+        prof = pipeline.encode_stream_superframes(raw, cfg, sf_batch=4)
+        ref, ref_ok = pipeline.decode_stream_superframes(prof, cfg, n_raw,
+                                                         sf_batch=4)
+        assert bool(ref_ok)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+class TestStreamSharding:
+    def test_encode_stream_sharded_matches_single(self, mesh8):
+        cfg = EncoderConfig(profile=ProfileID.P2_RS26_22,
+                            uep=uep_luma_priority())
+        n_raw = 8 * 512
+        raw = make_raw_words(n_raw, seed=50)
+        prof = np.asarray(M.encode_stream_sharded(raw, cfg, mesh8))
+        ref = np.asarray(pipeline.encode_profile_from_raw(
+            jnp.asarray(raw), cfg))
+        np.testing.assert_array_equal(prof, ref)

@@ -98,6 +98,68 @@ class TestApiRoundtrip:
         assert ok and out.shape[0] == 0
 
 
+class TestP5PlaneMajor:
+    """P5 on the plane-major fast path must be wire-identical to the
+    round-1 coeff-minor implementation (same stream spec) and roundtrip
+    at lengths that exercise partial tiles."""
+
+    def _cfg(self, tile=Tile2D(8, 4)):
+        return EncoderConfig(profile=ProfileID.P5_RS26_22_2D, tile=tile)
+
+    def test_pm_cm_wire_identical(self):
+        cfg = self._cfg()
+        for n_raw in (7, 40, 101):  # partial + whole tiles
+            raw = jnp.asarray(make_raw_words(n_raw, seed=n_raw))
+            layout = pipeline.build_encode_layout(cfg, n_raw)
+            tc_p, rs_p, bw_p, = pipeline._encode_parts_pm(layout)
+            tc_c, rs_c, bw_c, = pipeline._encode_parts_cm(layout)
+            out_pm = np.asarray(bw_p(rs_p(tc_p(raw)))).T  # planes -> words
+            out_cm = np.asarray(bw_c(rs_c(tc_c(raw))))
+            np.testing.assert_array_equal(out_pm, out_cm, err_msg=str(n_raw))
+
+    def test_pm_decode_of_cm_stream_and_back(self):
+        cfg = self._cfg()
+        n_raw = 75
+        raw = make_raw_words(n_raw, seed=5)
+        layout = pipeline.build_encode_layout(cfg, n_raw)
+        tc_c, rs_c, bw_c = pipeline._encode_parts_cm(layout)
+        prof_cm = np.asarray(bw_c(rs_c(tc_c(jnp.asarray(raw)))))
+        hdr, hok = pipeline.decode_header_from_words(prof_cm)
+        assert hok
+        dlayout = pipeline.build_decode_layout(
+            hdr, prof_cm.shape[0] - pipeline.HEADER_WORDS)
+        for mode in ("paged", "check", "full"):
+            dec_pm = pipeline._decode_body_fn_pm2(dlayout, mode, "words")
+            out, ok = dec_pm(jnp.asarray(prof_cm[pipeline.HEADER_WORDS:]))
+            assert bool(ok), mode
+            np.testing.assert_array_equal(np.asarray(out)[:n_raw], raw)
+        # and the cm decoder reads the pm encoder's stream
+        tc_p, rs_p, bw_p = pipeline._encode_parts_pm(layout)
+        prof_pm = np.asarray(bw_p(rs_p(tc_p(jnp.asarray(raw))))).T
+        dec_cm = pipeline._decode_body_fn_cm(dlayout, "paged", "words")
+        out, ok = dec_cm(jnp.asarray(prof_pm[pipeline.HEADER_WORDS:]))
+        assert bool(ok)
+        np.testing.assert_array_equal(np.asarray(out)[:n_raw], raw)
+
+    def test_p5_stream_roundtrip_with_errors(self):
+        """P5 through the streaming pipeline (now plane-major) with a
+        partial tail superframe and injected correctable errors."""
+        import dataclasses
+        cfg = dataclasses.replace(self._cfg(), superframe_words=64)
+        r = np.random.default_rng(17)
+        n_raw = 64 * 3 + 29
+        raw = make_raw_words(n_raw, seed=17)
+        prof = np.asarray(pipeline.encode_stream_superframes(raw, cfg,
+                                                             sf_batch=2))
+        corr = prof.copy()
+        corr[1, pipeline.HEADER_WORDS + 3, 6] = (
+            corr[1, pipeline.HEADER_WORDS + 3, 6] + 1) % 27
+        out, ok = pipeline.decode_stream_superframes(corr, cfg, n_raw,
+                                                     sf_batch=2)
+        assert bool(ok)
+        np.testing.assert_array_equal(np.asarray(out), raw)
+
+
 class TestErrorCorrection:
     def test_symbol_errors_corrected(self):
         """Inject <= t symbol errors per codeword region; decode must still
@@ -305,6 +367,38 @@ class TestSuperframeStreaming:
         _l, _d, _e, dec_n = pipeline._stream_fns(cfg, 2, rs_mode="none")
         _o, ok_n = dec_n(jnp.asarray(corr).swapaxes(1, 2))
         assert bool(ok_n)  # "none" trusts the stream by design
+
+    def test_auto_repairs_only_flagged_superframes(self):
+        """Phase 1 flags exactly the corrupted superframes; phase 2 repairs
+        just those (host-level gather) and the merged stream is exact."""
+        from ternary_image_codec_tpu.config import (EncoderConfig, ProfileID,
+                                                    uep_luma_priority)
+        cfg = EncoderConfig(profile=ProfileID.P2_RS26_22,
+                            uep=uep_luma_priority(), superframe_words=64)
+        r = np.random.default_rng(21)
+        n_raw = 64 * 6
+        t = r.integers(0, 3, size=(n_raw, 27)).astype(np.int8)
+        t[:, 26] = 0
+        raw = (t.reshape(n_raw, 9, 3) * np.array([1, 3, 9])).sum(-1) \
+            .astype(np.int8)
+        prof = np.asarray(pipeline.encode_stream_superframes(raw, cfg,
+                                                             sf_batch=2))
+        corr = prof.copy()
+        corr[1, pipeline.HEADER_WORDS + 5, 4] = (
+            corr[1, pipeline.HEADER_WORDS + 5, 4] + 1) % 27
+        corr[4, pipeline.HEADER_WORDS + 9, 0] = (
+            corr[4, pipeline.HEADER_WORDS + 9, 0] + 2) % 27
+        # per-superframe flags from the phase-1 check decode
+        _l, _d, _e, dec_check = pipeline._stream_fns(cfg, 2, rs_mode="check",
+                                                     ok_per_sf=True)
+        _raw, ok_sf = dec_check(jnp.asarray(corr).swapaxes(1, 2))
+        assert np.asarray(ok_sf).tolist() == [True, False, True, True,
+                                              False, True]
+        # full auto decode: repaired, exact, ok
+        out, ok = pipeline.decode_stream_superframes(corr, cfg, n_raw,
+                                                     sf_batch=2)
+        assert bool(ok)
+        assert np.array_equal(np.asarray(out), raw)
 
     def test_period1_beacon_with_data_rejected(self):
         """words_period=1 gives the beacon band zero payload capacity; the

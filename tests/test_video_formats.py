@@ -102,3 +102,116 @@ class TestFormats:
             pytest.skip(f"imageio cannot write EXR here: {e}")
         rgb = F._load_exr(p)
         assert rgb.shape == (8, 8, 3) and rgb.dtype == np.uint8
+
+
+def _fake_openexr(store):
+    """Minimal stand-in for the classic OpenEXR/Imath python bindings
+    (InputFile/OutputFile API) backed by an in-memory dict, so the OpenEXR
+    branch is exercised even where the real module is absent (it is absent
+    in this environment, like the reference's compile-gated backends)."""
+    import types
+
+    class _Pt:
+        FLOAT = "FLOAT"
+
+        def __init__(self, kind=None):
+            self.kind = kind
+
+    imath = types.ModuleType("Imath")
+    imath.PixelType = _Pt
+    imath.Channel = lambda pt: ("chan", pt.kind)
+
+    class _Box:
+        def __init__(self, w, h):
+            self.min = types.SimpleNamespace(x=0, y=0)
+            self.max = types.SimpleNamespace(x=w - 1, y=h - 1)
+
+    class _In:
+        def __init__(self, path):
+            self._d = store[path]
+
+        def header(self):
+            w, h = self._d["size"]
+            return {"dataWindow": _Box(w, h),
+                    "channels": {c: None for c in self._d["planes"]}}
+
+        def channel(self, name, pt):
+            return self._d["planes"][name].tobytes()
+
+    class _Out:
+        def __init__(self, path, hdr):
+            self._path, self._hdr = path, hdr
+            dw = hdr["dataWindow"]
+            self._size = (dw.max.x + 1, dw.max.y + 1)
+
+        def writePixels(self, chans):
+            w, h = self._size
+            store[self._path] = {"size": (w, h), "planes": {
+                c: np.frombuffer(b, np.float32).reshape(h, w).copy()
+                for c, b in chans.items()}}
+
+        def close(self):
+            pass
+
+    mod = types.ModuleType("OpenEXR")
+    mod.InputFile = _In
+    mod.OutputFile = _Out
+    mod.Header = lambda w, h: {"dataWindow": _Box(w, h), "channels": {}}
+    return mod, imath
+
+
+class TestOpenEXRBranch:
+    """The OpenEXR-bindings EXR path (preferred over imageio when present),
+    run against a faithful fake of the classic API."""
+
+    def _patch(self, monkeypatch):
+        import sys
+        store = {}
+        mod, imath = _fake_openexr(store)
+        monkeypatch.setitem(sys.modules, "OpenEXR", mod)
+        monkeypatch.setitem(sys.modules, "Imath", imath)
+        return store
+
+    def test_save_load_roundtrip(self, monkeypatch, tmp_path):
+        self._patch(monkeypatch)
+        assert F.format_available("exr")
+        rgb = np.random.default_rng(2).integers(
+            0, 256, size=(6, 10, 3)).astype(np.uint8)
+        p = str(tmp_path / "m.exr")
+        F._save("exr", p, rgb)
+        back = F._load_exr(p)
+        # u8 -> f32/255 -> lround(f*255) is exact
+        assert np.array_equal(back, rgb)
+
+    def test_grayscale_y_replicates(self, monkeypatch):
+        store = self._patch(monkeypatch)
+        y = np.linspace(0.0, 1.0, 12, dtype=np.float32).reshape(3, 4)
+        store["g.exr"] = {"size": (4, 3), "planes": {"Y": y}}
+        rgb = F._load_exr("g.exr")
+        assert rgb.shape == (3, 4, 3)
+        assert np.array_equal(rgb[..., 0], rgb[..., 1])
+        assert np.array_equal(rgb[..., 0], rgb[..., 2])
+
+    def test_out_of_range_clamps(self, monkeypatch):
+        """The reference maps via clamp(lround(v*255), 0, 255)
+        (src/io_tiff_exr.cpp:124-127): HDR overshoot saturates."""
+        store = self._patch(monkeypatch)
+        v = np.asarray([[-0.5, 0.0], [1.0, 3.7]], dtype=np.float32)
+        store["h.exr"] = {"size": (2, 2), "planes": {
+            "R": v, "G": v, "B": v}}
+        rgb = F._load_exr("h.exr")
+        assert rgb[..., 0].tolist() == [[0, 0], [255, 255]]
+
+    def test_words_bridge_via_openexr(self, monkeypatch, tmp_path):
+        self._patch(monkeypatch)
+        rgb = np.random.default_rng(3).integers(
+            0, 256, size=(480, 854, 3)).astype(np.uint8)
+        src = str(tmp_path / "in.exr")
+        F._save("exr", src, rgb)
+        words, (w, h) = F.image_file_to_words(src, "exr", SubwordMode.S15,
+                                              centered=False)
+        assert (w, h) == (854, 480)
+        out = str(tmp_path / "out.exr")
+        F.words_to_image_file(words, "exr", SubwordMode.S15, 854, 480, out)
+        back = F._load_exr(out)
+        assert np.abs(back.astype(int) - rgb.astype(int)).max() <= 6
