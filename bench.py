@@ -153,48 +153,62 @@ def main():
             return outs, bool(jnp.all(okf))
         return outs, True
 
+    del batches  # ~3.6 GB HBM; the dirty phase rebuilds inputs per set
+
     D = 20                                       # dirty superframes/frame
     r2 = np.random.default_rng(1)
     fi = np.repeat(np.arange(iters), D)
     si = np.stack([r2.choice(n_sf, D, replace=False)
                    for _ in range(iters)]).reshape(-1)
-    words_sets = []
-    for b in batches[:2]:
-        w = enc_frames(b)
-        words_sets.append((w, corrupt_fn(w, jnp.asarray(fi),
-                                         jnp.asarray(si))))
-    for w, wd in words_sets:
-        wd.block_until_ready()
 
-    def timed_dec(fn, variants):
-        best = float("inf")
-        for v in variants:
-            t0 = time.perf_counter()
-            outs, okv = fn(v)
-            outs.block_until_ready()
-            _ = float(jnp.sum(outs[0, 0, :8].astype(jnp.int32)))
-            best = min(best, time.perf_counter() - t0)
-        return best / iters
+    def _timed(ws):
+        t0 = time.perf_counter()
+        outs, okv = dec_two_phase(ws)
+        outs.block_until_ready()
+        _ = float(jnp.sum(outs[0, 0, :8].astype(jnp.int32)))
+        dtv = time.perf_counter() - t0
+        del outs
+        return dtv / iters
 
-    outs_d, ok_d = dec_two_phase(words_sets[0][1])  # compile + verify
-    assert ok_d, "dirty repair failed"
-    got = np.asarray(outs_d[0, :, :, :sf])[0].T[:16]
-    exp = np.asarray((chunks_np + iters * 0 + 1) % 27)[0, :16]
-    assert np.array_equal(got, exp), "dirty repair produced wrong data"
-    dec_two_phase(words_sets[1][1])
-    # clean two-phase = check + the host ok-flag sync (phase 2 never fires)
-    t_clean = timed_dec(dec_two_phase, [w for w, _ in words_sets])
-    t_dirty = timed_dec(dec_two_phase, [wd for _, wd in words_sets])
-    # enc+dec fps with the dirty decode in place of the clean one
-    dirty_fps = 1.0 / (dt - t_clean + t_dirty)
+    # HBM discipline: one (clean, dirty) word set live at a time (a frame
+    # batch of profile words is ~1.5 GB; holding several OOMs the chip)
+    t_clean = float("inf")
+    t_dirty = float("inf")
+    try:
+        for bi in range(2):
+            b = jnp.asarray(np.stack(
+                [(chunks_np + iters * bi + i) % 27
+                 for i in range(1, iters + 1)]))
+            w = enc_frames(b)
+            w.block_until_ready()
+            del b
+            wd = corrupt_fn(w, jnp.asarray(fi), jnp.asarray(si))
+            wd.block_until_ready()
+            if bi == 0:                          # compile + verify repair
+                outs_d, ok_d = dec_two_phase(wd)
+                assert ok_d, "dirty repair failed"
+                got = np.asarray(outs_d[0, :, :, :sf])[0].T[:16]
+                exp = np.asarray((chunks_np + 1) % 27)[0, :16]
+                assert np.array_equal(got, exp), "dirty repair wrong data"
+                del outs_d
+            t_clean = min(t_clean, _timed(w))
+            t_dirty = min(t_dirty, _timed(wd))
+            del w, wd
+        # enc+dec fps with the dirty decode in place of the clean one
+        dirty_fps = round(1.0 / (dt - t_clean + t_dirty), 3)
+        dirty_ratio = round(t_dirty / t_clean, 3)
+    except Exception as e:                       # never lose the headline
+        print(f"dirty-phase failed: {e!r}", file=__import__("sys").stderr)
+        dirty_fps = None
+        dirty_ratio = None
 
     print(json.dumps({
         "metric": "8k_frame_encode_decode_throughput",
         "value": round(fps, 3),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / 30.0, 3),
-        "dirty_fps": round(dirty_fps, 3),
-        "dirty_over_clean_decode": round(t_dirty / t_clean, 3),
+        "dirty_fps": dirty_fps,
+        "dirty_over_clean_decode": dirty_ratio,
     }))
 
 

@@ -1105,6 +1105,16 @@ def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged",
     # RS chain strategy (paged / full) is selected inside _decode_body_fn
     dec_body = jax.vmap(_decode_body_fn(dlayout, rs_mode, wire="planes"))
 
+    # fused Pallas check decode: the whole verify+extract path as ONE
+    # VMEM-resident kernel per superframe (ops/dec_pallas.py) -- replaces
+    # the ~2 dozen HBM-materialized intermediates of the XLA chain
+    dec_fused = None
+    if rs_mode == "check" and os.environ.get("T3_DEC_IMPL", "xla") == "pallas":
+        from . import dec_pallas
+        if dec_pallas.supported(dlayout):
+            dec_fused = dec_pallas.check_decode_fn(
+                dlayout, interpret=jax.default_backend() == "cpu")
+
     # expected header payload (the reference decodes every superframe's
     # header, old/.../v6_min.hpp:918-937; the stream decoder RS-decodes
     # both RS(26,18) header blocks on device and requires the corrected
@@ -1122,9 +1132,12 @@ def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged",
     @jax.jit
     def dec_stream(words):  # (n_sf, 9, total) -> ((n_sf, 9, out_words), ok)
         n = words.shape[0]
-        raw, ok = lax.map(dec_body, _rebatch(words[:, :, HEADER_WORDS:]))
-        raw = raw.reshape(-1, NUM_BANDS, dlayout.n_out_words)[:n]
-        ok = ok.reshape(-1)[:n]                     # (n,) per superframe
+        if dec_fused is not None:
+            raw, ok = dec_fused(words[:, :, HEADER_WORDS:])
+        else:
+            raw, ok = lax.map(dec_body, _rebatch(words[:, :, HEADER_WORDS:]))
+            raw = raw.reshape(-1, NUM_BANDS, dlayout.n_out_words)[:n]
+            ok = ok.reshape(-1)[:n]                 # (n,) per superframe
         # header symbols word-major: (9, 6) slab -> (6, 9) -> 54
         sy = words[:, :, :HEADER_WORDS].swapaxes(1, 2) \
             .reshape(n, HEADER_WORDS * NUM_BANDS)
