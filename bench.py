@@ -153,6 +153,15 @@ def main():
             return outs, bool(jnp.all(okf))
         return outs, True
 
+    if os.environ.get("T3_BENCH_SKIP_DIRTY"):   # quick A/B: headline only
+        print(json.dumps({
+            "metric": "8k_frame_encode_decode_throughput",
+            "value": round(fps, 3),
+            "unit": "frames/s/chip",
+            "vs_baseline": round(fps / 30.0, 3),
+        }))
+        return
+
     del batches  # ~3.6 GB HBM; the dirty phase rebuilds inputs per set
 
     D = 20                                       # dirty superframes/frame

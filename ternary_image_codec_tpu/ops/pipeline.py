@@ -287,15 +287,19 @@ def _unpack702():
     return C
 
 
-def _pm_offsets(H: int, seed, sign: float):
+def _pm_offsets(H: int, seed, sign: float, order=None):
     """Scrambler offsets for the (27, H) plane-major body grid.
 
     Cell (h, band b) is the (h*9+b)-th scrambled cell; the offset sequence
     has period 6 (ops/scramble.py), and (9h+b) mod 6 = (3*(h&1) + b) mod 6,
     so the whole (27, H) offset field is a parity select between two static
-    per-row constants -- no big iota arithmetic."""
+    per-row constants -- no big iota arithmetic.
+
+    order: optional (27,) array of ORIGINAL row ids (3*band + digit) when
+    the caller keeps the grid in a permuted (slab) row order -- the
+    permutation rides this host-side constant, never a device gather."""
     pat = scramble.offsets(6, seed.a, seed.b, seed.s0, dtype=jnp.float32)
-    b_of_row = np.arange(27) // 3
+    b_of_row = (np.arange(27) if order is None else np.asarray(order)) // 3
     even_idx = np.asarray(b_of_row % 6)
     odd_idx = np.asarray((3 + b_of_row) % 6)
     A = pat[even_idx] * sign                      # (27,)
@@ -487,9 +491,16 @@ def _encode_parts_pm(layout: EncodeLayout):
         nblk7 = -(-max_need // 26)
         t27 = jnp.pad(t27, ((0, nblk7 * 27 - t27.shape[0]), (0, 0)))
         X2 = t27.reshape(nblk7, 729)                           # view: 27w+t
-        Y = lax.dot_general(jnp.asarray(_pack702()), X2,
+        # T3_COLS_DOT picks the dot dtype (i8 accumulates int32 -- a 4x
+        # HBM output vs the int8 the pipeline keeps; f32/bf16 are exact
+        # for trits and may take a faster MXU path -- chip A/B)
+        dt = {"i8": (jnp.int8, jnp.int32), "f32": (jnp.float32,) * 2,
+              "bf16": (jnp.bfloat16,) * 2}[
+                  os.environ.get("T3_COLS_DOT", "i8")]
+        Y = lax.dot_general(jnp.asarray(_pack702(), dtype=dt[0]),
+                            X2.astype(dt[0]),
                             (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.int32)  # (702, nblk7)
+                            preferred_element_type=dt[1])      # (702, nblk7)
         grid = Y.astype(jnp.int8).reshape(27, 26, nblk7) \
             .swapaxes(1, 2).reshape(27, 26 * nblk7)
         return grid[:, :max_need]
@@ -499,6 +510,13 @@ def _encode_parts_pm(layout: EncodeLayout):
     for b in active:
         if b != bc_band:
             by_k.setdefault(geom.ks[b], []).append(b)
+    # T3_ENC_ASM=slab: keep per-k-group SLABS end to end -- the grid stays
+    # in slab row order [k-groups, beacon, empty bands], and the
+    # band-order permutation rides host-side constants (scrambler offset
+    # rows, a final 9-row reorder) instead of data-movement ops.  The
+    # round-1 slab experiment permuted the (27, H) grid with a device
+    # gather and regressed; this variant has NO grid gather.
+    slab_asm = os.environ.get("T3_ENC_ASM", "bands") == "slab" and not p5
 
     def rs_stage(cols):
         """Group-level RS encode: one dot_general per distinct k over the
@@ -507,6 +525,7 @@ def _encode_parts_pm(layout: EncodeLayout):
         from jax import lax as _lax
         from .gf27 import fmod3
         enc = {}
+        group_slabs = []
         for k, bands in by_k.items():
             nblk = geom.blocks[bands[0]]
             rows = np.asarray([3 * b + d for b in bands for d in range(3)])
@@ -518,6 +537,9 @@ def _encode_parts_pm(layout: EncodeLayout):
             y = fmod3(y.astype(jnp.float32)).astype(jnp.int8)
             cw = y.reshape(3, rs.N, len(bands), nblk) \
                 .transpose(2, 0, 3, 1)            # (g, 3, nblk, 26)
+            if slab_asm:
+                group_slabs.append(cw)
+                continue
             for gi, b in enumerate(bands):
                 enc[b] = cw[gi]
         if bc_band in active:
@@ -525,47 +547,90 @@ def _encode_parts_pm(layout: EncodeLayout):
             data = cols[3 * b:3 * b + 3, :needs[b]] \
                 .reshape(3, geom.blocks[b], geom.ks[b])
             enc[b] = rs.encode_pm_blocks(data, geom.ks[b])
+        if slab_asm:
+            return tuple(group_slabs) + ((enc[bc_band],)
+                                         if bc_band in active else ())
         return tuple(enc[b] for b in active)      # (3, nblk, 26) per band
 
-    def build_words(enc_tuple):
-        enc = dict(zip(active, enc_tuple))
-        out_cols = []
-        r = jnp.arange(geom.H, dtype=jnp.int32)
-        for b in range(NUM_BANDS):
-            stream = (enc[b].reshape(3, -1) if geom.blocks[b]
-                      else jnp.zeros((3, 0), dtype=jnp.int8))
-            stream = jnp.pad(
-                stream, ((0, 0), (0, geom.usable[b] - stream.shape[1])))
-            if beacon.enabled and b == beacon.band_slot:
-                if beacon.words_period == 1:
-                    col = jnp.broadcast_to(jnp.asarray(bsym_dig)[:, None],
-                                           (3, geom.H))
-                else:
-                    is_b = r % beacon.words_period == 0
-                    payload_idx = jnp.clip(
-                        r - r // beacon.words_period - 1, 0,
-                        max(geom.usable[b] - 1, 0))
-                    col = jnp.where(is_b[None, :],
-                                    jnp.asarray(bsym_dig)[:, None],
-                                    stream[:, payload_idx])
-            else:
-                col = stream  # usable == H
-            out_cols.append(col)
-        grid = jnp.concatenate(out_cols, axis=0)          # (27, H)
-        off = _pm_offsets(geom.H, cfg.seed, 1.0)
+    def _beacon_col(stream, r):
+        """(3, usable) payload stream -> the beacon band's (3, H) column."""
+        b = bc_band
+        stream = jnp.pad(
+            stream, ((0, 0), (0, geom.usable[b] - stream.shape[1])))
+        if beacon.words_period == 1:
+            return jnp.broadcast_to(jnp.asarray(bsym_dig)[:, None],
+                                    (3, geom.H))
+        is_b = r % beacon.words_period == 0
+        payload_idx = jnp.clip(
+            r - r // beacon.words_period - 1, 0,
+            max(geom.usable[b] - 1, 0))
+        return jnp.where(is_b[None, :], jnp.asarray(bsym_dig)[:, None],
+                         stream[:, payload_idx])
+
+    def _finish(grid, order, r):
+        """Scramble + pack a (27, H) grid whose rows are the ORIGINAL rows
+        order[i]; emits wire-planes (9, total) in band order."""
+        off = _pm_offsets(geom.H, cfg.seed, 1.0, order=order)
         scr = fmod3(grid.astype(jnp.float32) + off + 3.0).astype(jnp.int8)
         if beacon.enabled:
-            row_hot = np.zeros(27, dtype=bool)
-            row_hot[3 * beacon.band_slot:3 * beacon.band_slot + 3] = True
+            rows27 = np.arange(27) if order is None else np.asarray(order)
+            row_hot = rows27 // 3 == beacon.band_slot
             is_b = r % max(beacon.words_period, 1) == 0
             scr = jnp.where(jnp.asarray(row_hot)[:, None] & is_b[None, :],
                             grid, scr)
         # wire-planes layout (9, total): the word axis stays minor -- a
         # (total, 9) write pads 9 -> 128 lanes (14x HBM bytes)
-        body_T = scr[0::3] + 3 * scr[1::3] + 9 * scr[2::3]    # (9, H)
+        if order is None:
+            body_T = scr[0::3] + 3 * scr[1::3] + 9 * scr[2::3]  # (9, H)
+        else:
+            # slab order keeps each band's 3 digit rows adjacent: pack per
+            # band triple, then ONE tiny 9-row reorder to wire band order
+            t = scr.reshape(NUM_BANDS, 3, geom.H)
+            packed = t[:, 0] + 3 * t[:, 1] + 9 * t[:, 2]        # (9, H)
+            inv9 = np.empty(NUM_BANDS, dtype=np.int64)
+            inv9[np.asarray(order)[::3] // 3] = np.arange(NUM_BANDS)
+            body_T = packed[inv9]
         return jnp.concatenate(
             [jnp.asarray(layout.header_words.T, dtype=jnp.int8), body_T],
             axis=1)                                           # (9, total)
+
+    def build_words(enc_tuple):
+        r = jnp.arange(geom.H, dtype=jnp.int32)
+        if slab_asm:
+            slabs, order = [], []
+            for gi, (k, bands) in enumerate(by_k.items()):
+                g = len(bands)
+                slab = enc_tuple[gi].reshape(3 * g, -1)   # (3g, nblk*26)
+                slabs.append(jnp.pad(
+                    slab, ((0, 0), (0, geom.H - slab.shape[1]))))
+                order += [3 * b + d for b in bands for d in range(3)]
+            if bc_band >= 0:
+                stream = (enc_tuple[len(by_k)].reshape(3, -1)
+                          if bc_band in active
+                          else jnp.zeros((3, 0), dtype=jnp.int8))
+                slabs.append(_beacon_col(stream, r))
+                order += [3 * bc_band + d for d in range(3)]
+            covered = {o // 3 for o in order}
+            for b in range(NUM_BANDS):
+                if b not in covered:
+                    slabs.append(jnp.zeros((3, geom.H), dtype=jnp.int8))
+                    order += [3 * b + d for d in range(3)]
+            grid = jnp.concatenate(slabs, axis=0)         # (27, H) slab rows
+            return _finish(grid, np.asarray(order), r)
+        enc = dict(zip(active, enc_tuple))
+        out_cols = []
+        for b in range(NUM_BANDS):
+            stream = (enc[b].reshape(3, -1) if geom.blocks[b]
+                      else jnp.zeros((3, 0), dtype=jnp.int8))
+            if beacon.enabled and b == beacon.band_slot:
+                col = _beacon_col(stream, r)
+            else:
+                col = jnp.pad(
+                    stream,
+                    ((0, 0), (0, geom.usable[b] - stream.shape[1])))
+            out_cols.append(col)
+        grid = jnp.concatenate(out_cols, axis=0)          # (27, H)
+        return _finish(grid, None, r)
 
     return to_cols, rs_stage, build_words
 
@@ -905,22 +970,40 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
             S_all = fmod3(S_all.astype(jnp.float32)).astype(jnp.int8) \
                 .reshape(3, 8, NUM_BANDS, nblk_p)
 
+        # T3_DEC_M27=slab: build the (27, max_dp) assembly input as 2-3
+        # k-group SLABS in slab row order; the band-order permutation rides
+        # the _unpack702_bw CONSTANT's rows (host-side), not a device
+        # gather.  (The round-1 slab experiment gathered the grid rows on
+        # device and regressed -- this variant moves no data.)
+        slab_m27 = (os.environ.get("T3_DEC_M27", "bands") == "slab"
+                    and not p5
+                    and os.environ.get("T3_DEC_ASM", "v2") != "v1")
         streams = [None] * NUM_BANDS
+        slabs, slab_order = [], []
         oks = []
+
+        def _emit_extract(bands, barr, g, k):
+            """The raw data columns of a band group (none/check modes)."""
+            if slab_m27:
+                slabs.append(U[barr][:, :, :nblk_u, :k].reshape(3 * g, -1))
+                slab_order.extend(3 * b + d for b in bands
+                                  for d in range(3))
+            else:
+                for b in bands:
+                    streams[b] = U[b][:, :nblk_u, :k].reshape(3, -1)
+
         for k, bands in by_k.items():
             r = 26 - k
             g = len(bands)
             barr = np.asarray(bands)
             if rs_mode == "none":
-                for b in bands:
-                    streams[b] = U[b][:, :nblk_u, :k].reshape(3, -1)
+                _emit_extract(bands, barr, g, k)
                 continue
             Sg = S_all[:, :r][:, :, barr]                # (3, r, g, nblk)
             if rs_mode == "check":
                 dirty = jnp.any(Sg.reshape(3 * r, g, nblk_p) != 0, axis=0)
                 oks.append((~dirty).reshape(-1))
-                for b in bands:
-                    streams[b] = U[b][:, :nblk_u, :k].reshape(3, -1)
+                _emit_extract(bands, barr, g, k)
                 continue
             if rs_mode != "paged":
                 # full chain over every block of the group
@@ -929,9 +1012,15 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
                 d_g, ok_g = rs._correct_pm(
                     g_rd, Sg.reshape(3, r, g * nblk_p), k)
                 data = d_g.reshape(3, k, g, nblk_p)
-                for gi, b in enumerate(bands):
-                    streams[b] = data[:, :, gi, :nblk_u] \
-                        .transpose(0, 2, 1).reshape(3, -1)
+                if slab_m27:
+                    slabs.append(data.transpose(2, 0, 3, 1)[:, :, :nblk_u]
+                                 .reshape(3 * g, -1))
+                    slab_order.extend(3 * b + d for b in bands
+                                      for d in range(3))
+                else:
+                    for gi, b in enumerate(bands):
+                        streams[b] = data[:, :, gi, :nblk_u] \
+                            .transpose(0, 2, 1).reshape(3, -1)
                 oks.append(ok_g)
                 continue
             dirty = jnp.any(Sg.reshape(3 * r, g, nblk_p) != 0, axis=0)
@@ -970,10 +1059,17 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
             okb = jnp.where(use_corr[:, None], ok_pages,
                             (~dirty).reshape(g * npage, page))
             oks.append(okb.reshape(-1))
-            for gi, b in enumerate(bands):
-                base = U[b][:, :, :k]                    # (3, nblk_p, k)
-                streams[b] = _m3i(base + delta[gi])[:, :nblk_u] \
-                    .reshape(3, -1)
+            if slab_m27:
+                base_g = U[barr][:, :, :, :k]            # (g, 3, nblk_p, k)
+                slabs.append(_m3i(base_g + delta)[:, :, :nblk_u]
+                             .reshape(3 * g, -1))
+                slab_order.extend(3 * b + d for b in bands
+                                  for d in range(3))
+            else:
+                for gi, b in enumerate(bands):
+                    base = U[b][:, :, :k]                # (3, nblk_p, k)
+                    streams[b] = _m3i(base + delta[gi])[:, :nblk_u] \
+                        .reshape(3, -1)
         # beacon band: its rows skip the beacon cells -> per-band gather
         if bc_band >= 0 and geom.blocks[bc_band]:
             nblk, k = geom.blocks[bc_band], geom.ks[bc_band]
@@ -982,30 +1078,46 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
                                         beacon.words_period)
             band = band[:, rows][:, :nblk * rs.N].reshape(3, nblk, rs.N)
             if rs_mode == "none":
-                streams[bc_band] = band[:, :, :k].reshape(3, -1)
+                bc_stream = band[:, :, :k].reshape(3, -1)
             elif rs_mode == "check":
                 Sb = rs.syndromes_pm_bk(band, k)
                 oks.append(~jnp.any(
                     Sb.reshape(-1, nblk) != 0, axis=0))
-                streams[bc_band] = band[:, :, :k].reshape(3, -1)
+                bc_stream = band[:, :, :k].reshape(3, -1)
             else:
                 d_b, ok_b = rs.decode_paged_pm_bk(band, k, page=16,
                                                   max_dirty_pages=4) \
                     if rs_mode == "paged" else rs.decode_pm_bk(band, k)
-                streams[bc_band] = d_b.reshape(3, -1)
+                bc_stream = d_b.reshape(3, -1)
                 oks.append(ok_b)
+            if slab_m27:
+                slabs.append(bc_stream)
+                slab_order.extend(3 * bc_band + d for d in range(3))
+            else:
+                streams[bc_band] = bc_stream
         # assemble (27, max_d) and regroup to words: the lane-crossing
         # 27-grid-trits -> 26-trit-words regroup FUSED with the trit->
         # symbol pack is one MXU contraction per 702-trit period
         # (_unpack702) -- no flat/reshape relayout chain
         max_dp = -(-max(max_d, 1) // 26) * 26
         MB = max_dp // 26
-        parts = []
-        for b in range(NUM_BANDS):
-            s = (streams[b] if streams[b] is not None
-                 else jnp.zeros((3, 0), dtype=jnp.int8))
-            parts.append(jnp.pad(s, ((0, 0), (0, max_dp - s.shape[1]))))
-        M27 = jnp.concatenate(parts, axis=0)             # (27, max_dp)
+        if slab_m27:
+            covered = {o // 3 for o in slab_order}
+            for b in range(NUM_BANDS):
+                if b not in covered:
+                    slabs.append(jnp.zeros((3, max_dp), dtype=jnp.int8))
+                    slab_order.extend(3 * b + d for d in range(3))
+            M27 = jnp.concatenate(
+                [jnp.pad(s, ((0, 0), (0, max_dp - s.shape[1])))
+                 for s in slabs], axis=0)       # (27, max_dp) slab rows
+        else:
+            parts = []
+            for b in range(NUM_BANDS):
+                s = (streams[b] if streams[b] is not None
+                     else jnp.zeros((3, 0), dtype=jnp.int8))
+                parts.append(jnp.pad(s,
+                                     ((0, 0), (0, max_dp - s.shape[1]))))
+            M27 = jnp.concatenate(parts, axis=0)         # (27, max_dp)
         if p5:
             # P5: fold the grid to stream-planes (3, L), deinterleave
             # (reshape+row-flip for whole tiles), then ONE contraction
@@ -1035,11 +1147,19 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
             # v2 (default): contract (row, in-block col) in place -- the
             # operand transpose rides the dot_general dimension numbers
             # instead of a materialized relayout; the (band, word) output
-            # ordering leaves only a minor-dims transpose to wire-planes
-            wT = lax.dot_general(jnp.asarray(_unpack702_bw()),
-                                 M27.reshape(27, MB, 26),
+            # ordering leaves only a minor-dims transpose to wire-planes.
+            # Slab mode: M27's rows are in slab order, so permute the
+            # CONSTANT's rows to match -- zero extra data movement.
+            C_bw = np.asarray(_unpack702_bw())
+            if slab_m27:
+                C_bw = C_bw[np.asarray(slab_order)]
+            dt = {"i8": (jnp.int8, jnp.int32), "f32": (jnp.float32,) * 2,
+                  "bf16": (jnp.bfloat16,) * 2}[
+                      os.environ.get("T3_ASM_DOT", "i8")]
+            wT = lax.dot_general(jnp.asarray(C_bw, dtype=dt[0]),
+                                 M27.reshape(27, MB, 26).astype(dt[0]),
                                  (((0, 1), (0, 2)), ((), ())),
-                                 preferred_element_type=jnp.int32) \
+                                 preferred_element_type=dt[1]) \
                 .astype(jnp.int8)                        # (243, MB)
             out_T = wT.reshape(NUM_BANDS, 27, MB).transpose(0, 2, 1) \
                 .reshape(NUM_BANDS, MB * 27)[:, :layout.n_out_words]
