@@ -31,7 +31,8 @@ def main():
     W, H = 7680, 4320
     n_raw = W * H // 2  # word9: 2 px/word
     cfg = EncoderConfig(profile=ProfileID.P2_RS26_22, uep=uep_luma_priority())
-    sf_batch = 128
+    # A/B knobs (defaults are the shipped production values)
+    sf_batch = int(os.environ.get("T3_BENCH_SF_BATCH", "128"))
 
     r = np.random.default_rng(0)
     t = r.integers(0, 3, size=(n_raw, 27)).astype(np.int8)
@@ -80,7 +81,7 @@ def main():
     # (docs/PERF.md "machine constants"), which a per-frame loop would
     # charge to every frame; production streaming pipelines frames the
     # same way.
-    iters = 8
+    iters = int(os.environ.get("T3_BENCH_ITERS", "8"))
     batches = [jnp.asarray(np.stack(
         [(chunks_np + iters * bi + i) % 27 for i in range(1, iters + 1)]))
         for bi in range(3)]

@@ -518,6 +518,13 @@ def _encode_parts_pm(layout: EncodeLayout):
     # gather and regressed; this variant has NO grid gather.
     slab_asm = os.environ.get("T3_ENC_ASM", "bands") == "slab" and not p5
 
+    # T3_ENC_RS=parity: the code is systematic (decode reads coeffs
+    # 0..k-1 as data, _decode_body_fn_pm2), so the G2 dot's first k output
+    # coeffs just recompute the input -- emit ONLY the r parity coeffs
+    # (a (3r, 3, k) dot, 26/r x fewer MXU rows and no full-codeword int32
+    # materialization) and splice data straight from the grid.
+    parity_rs = os.environ.get("T3_ENC_RS", "full") == "parity"
+
     def rs_stage(cols):
         """Group-level RS encode: one dot_general per distinct k over the
         grid's band rows directly (non-beacon bands share the same block
@@ -531,6 +538,22 @@ def _encode_parts_pm(layout: EncodeLayout):
             rows = np.asarray([3 * b + d for b in bands for d in range(3)])
             Ug = cols[rows, :nblk * k].reshape(len(bands), 3, nblk, k)
             M = rs._matrices_pm(k)
+            if parity_rs:
+                r_ = rs.N - k
+                Gp = np.asarray(M["G2"]).reshape(3, rs.N, 3, k)[:, k:] \
+                    .reshape(3 * r_, 3, k)
+                y = _lax.dot_general(jnp.asarray(Gp, dtype=jnp.int8), Ug,
+                                     (((1, 2), (1, 3)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+                par = fmod3(y.astype(jnp.float32)).astype(jnp.int8) \
+                    .reshape(3, r_, len(bands), nblk).transpose(2, 0, 3, 1)
+                cw = jnp.concatenate([Ug, par], axis=-1)  # (g,3,nblk,26)
+                if slab_asm:
+                    group_slabs.append(cw)
+                    continue
+                for gi, b in enumerate(bands):
+                    enc[b] = cw[gi]
+                continue
             y = _lax.dot_general(jnp.asarray(M["G2"], dtype=jnp.int8), Ug,
                                  (((1, 2), (1, 3)), ((), ())),
                                  preferred_element_type=jnp.int32)
