@@ -101,18 +101,33 @@ def main():
     assert bool(ok_all)
     dt = float("inf")
     with tracing.device_trace(os.environ.get("T3_TRACE_DIR")):
-        for b in batches[1:]:  # distinct inputs per timed call
+        if os.environ.get("T3_BENCH_ASYNC"):
+            # pipelined streaming: launch every timed batch back-to-back
+            # (jax dispatch is async), sync once at the end -- the ~25 ms
+            # tunnel RPC of call i+1 overlaps the device compute of call
+            # i, exactly how a production frame stream runs.  Average
+            # over all frames (min-of-batches needs per-batch syncs).
             with tracing.stage_timer("encode_decode_8k_batch"):
                 t0 = time.perf_counter()
-                ok, chk = step_frames(b)
-                _ = float(chk)  # host sync on a scalar
+                rets = [step_frames(b) for b in batches[1:]]
+                for ok, chk in rets:
+                    _ = float(chk)  # host sync on a scalar
                 elapsed = time.perf_counter() - t0
-                if not bool(ok):  # phase 2: repair (never on this input)
-                    for c in b:
-                        _o, _k = dec_fix(enc(c))
-                        _o.block_until_ready()
+                assert all(bool(ok) for ok, _c in rets)
+                dt = elapsed / (iters * len(rets))
+        else:
+            for b in batches[1:]:  # distinct inputs per timed call
+                with tracing.stage_timer("encode_decode_8k_batch"):
+                    t0 = time.perf_counter()
+                    ok, chk = step_frames(b)
+                    _ = float(chk)  # host sync on a scalar
                     elapsed = time.perf_counter() - t0
-                dt = min(dt, elapsed / iters)
+                    if not bool(ok):  # phase 2: repair (never on this input)
+                        for c in b:
+                            _o, _k = dec_fix(enc(c))
+                            _o.block_until_ready()
+                        elapsed = time.perf_counter() - t0
+                    dt = min(dt, elapsed / iters)
     tracing.log_event("bench_stages", **tracing.stage_report())
     fps = 1.0 / dt
 

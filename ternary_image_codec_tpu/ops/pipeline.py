@@ -312,6 +312,34 @@ def _is_p5(profile, tile) -> bool:
     return profile == ProfileID.P5_RS26_22_2D and bool(tile.w and tile.h)
 
 
+def _residue_groups(by_k, blocks):
+    """[(k, v_lo, v_hi)] when the k-groups partition the 9 bands into
+    contiguous residue classes mod 3 (uep_luma_priority: {0,3,6} + rest;
+    uniform UEP: one group) with equal block counts.
+
+    Band 3u + v lives at row (u, v, d) of the (3, 3, 3, ...) band split,
+    so a residue-class group tensor is a reshape+SLICE (v_lo:v_hi) -- no
+    device row gather -- and group pieces concatenated along the v axis
+    come back in true band order with no permutation.  Returns None when
+    the pattern doesn't hold (callers fall back to the per-band path)."""
+    if sorted(b for bands in by_k.values() for b in bands) != list(range(9)):
+        return None
+    if len({blocks[b] for b in range(9)}) != 1:
+        return None
+    out = []
+    for k, bands in by_k.items():
+        vs = sorted({b % 3 for b in bands})
+        if vs != list(range(vs[0], vs[-1] + 1)):
+            return None
+        if sorted(bands) != sorted(3 * u + v for u in range(3) for v in vs):
+            return None
+        out.append((k, vs[0], vs[-1] + 1))
+    out.sort(key=lambda t: t[1])
+    if [v for _k, lo, hi in out for v in range(lo, hi)] != [0, 1, 2]:
+        return None
+    return out
+
+
 @functools.cache
 def _encode_parts(layout: EncodeLayout):
     """Encode split into (to_cols, rs_stage, build_words) for stage-level
@@ -518,6 +546,16 @@ def _encode_parts_pm(layout: EncodeLayout):
     # gather and regressed; this variant has NO grid gather.
     slab_asm = os.environ.get("T3_ENC_ASM", "bands") == "slab" and not p5
 
+    # T3_ENC_ASM=grp: when the k-groups are residue classes mod 3 (the
+    # default uep_luma_priority layout, no beacon), group extraction is a
+    # reshape+SLICE of the (3, v, 3, m) band split and group codewords
+    # concatenate back along the v axis in true band order -- no device
+    # row gather (the slab killer) and 2 pads/1 concat instead of 9/9.
+    res_grp = (_residue_groups(by_k, geom.blocks)
+               if (os.environ.get("T3_ENC_ASM", "bands") == "grp"
+                   and not p5 and bc_band < 0)
+               else None)
+
     # T3_ENC_RS=parity: the code is systematic (decode reads coeffs
     # 0..k-1 as data, _decode_body_fn_pm2), so the G2 dot's first k output
     # coeffs just recompute the input -- emit ONLY the r parity coeffs
@@ -525,12 +563,43 @@ def _encode_parts_pm(layout: EncodeLayout):
     # materialization) and splice data straight from the grid.
     parity_rs = os.environ.get("T3_ENC_RS", "full") == "parity"
 
+    def _rs_one(Ug, k, nblk, g):
+        """(g, 3, nblk, k) data -> (g, 3, nblk, 26) codewords."""
+        from jax import lax as _lax
+        from .gf27 import fmod3
+        M = rs._matrices_pm(k)
+        if parity_rs:
+            r_ = rs.N - k
+            Gp = np.asarray(M["G2"]).reshape(3, rs.N, 3, k)[:, k:] \
+                .reshape(3 * r_, 3, k)
+            y = _lax.dot_general(jnp.asarray(Gp, dtype=jnp.int8), Ug,
+                                 (((1, 2), (1, 3)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+            par = fmod3(y.astype(jnp.float32)).astype(jnp.int8) \
+                .reshape(3, r_, g, nblk).transpose(2, 0, 3, 1)
+            return jnp.concatenate([Ug, par], axis=-1)   # (g,3,nblk,26)
+        y = _lax.dot_general(jnp.asarray(M["G2"], dtype=jnp.int8), Ug,
+                             (((1, 2), (1, 3)), ((), ())),
+                             preferred_element_type=jnp.int32)
+        y = fmod3(y.astype(jnp.float32)).astype(jnp.int8)
+        return y.reshape(3, rs.N, g, nblk).transpose(2, 0, 3, 1)
+
     def rs_stage(cols):
         """Group-level RS encode: one dot_general per distinct k over the
         grid's band rows directly (non-beacon bands share the same block
         count) -- no per-band slicing/concat chains."""
         from jax import lax as _lax
         from .gf27 import fmod3
+        if res_grp is not None:
+            # residue-class groups: extraction is a strided slice of the
+            # (3, 3, 3, m) band split -- no row gather
+            U5 = cols.reshape(3, 3, 3, cols.shape[1])
+            nblk = geom.blocks[0]
+            return tuple(
+                _rs_one(U5[:, lo:hi, :, :nblk * k]
+                        .reshape(3 * (hi - lo), 3, nblk, k), k, nblk,
+                        3 * (hi - lo))
+                for k, lo, hi in res_grp)                # v-ordered
         enc = {}
         group_slabs = []
         for k, bands in by_k.items():
@@ -619,6 +688,20 @@ def _encode_parts_pm(layout: EncodeLayout):
 
     def build_words(enc_tuple):
         r = jnp.arange(geom.H, dtype=jnp.int32)
+        if res_grp is not None:
+            # group codewords (g, 3, nblk, 26) -> (3, nv, 3, nblk*26),
+            # pad the column axis to H, concat along v: the (3, 3, 3, H)
+            # result reshapes to the (27, H) grid in true band order
+            # (row 9u + 3v + d = 3*(3u+v) + d) with no permutation.
+            pieces = []
+            for cw, (k, lo, hi) in zip(enc_tuple, res_grp):
+                nv = hi - lo
+                p = cw.reshape(3, nv, 3, -1)
+                pieces.append(jnp.pad(
+                    p, ((0, 0), (0, 0), (0, 0),
+                        (0, geom.H - p.shape[-1]))))
+            grid = jnp.concatenate(pieces, axis=1).reshape(27, geom.H)
+            return _finish(grid, None, r)
         if slab_asm:
             slabs, order = [], []
             for gi, (k, bands) in enumerate(by_k.items()):
@@ -1001,13 +1084,33 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
         slab_m27 = (os.environ.get("T3_DEC_M27", "bands") == "slab"
                     and not p5
                     and os.environ.get("T3_DEC_ASM", "v2") != "v1")
+        # T3_DEC_M27=grp: residue-class k-groups (see _residue_groups) --
+        # group extraction is a strided slice of the (3, 3, 3, ...) band
+        # split (no U[barr]/S_all[:, :, barr] gathers) and group pieces
+        # concat back along the v axis in TRUE band order (no slab
+        # permutation, 2 pads/1 concat instead of 9/9).
+        grp_of = None
+        if (os.environ.get("T3_DEC_M27", "bands") == "grp"
+                and not p5 and bc_band < 0 and rs_mode != "paged"):
+            rg = _residue_groups(by_k, geom.blocks)
+            if rg is not None:
+                grp_of = {k: (lo, hi) for k, lo, hi in rg}
+        if grp_of is not None:
+            U5 = U.reshape(3, 3, 3, nblk_p, rs.N)
+            S5 = (S_all.reshape(3, 8, 3, 3, nblk_p)
+                  if rs_mode != "none" else None)
         streams = [None] * NUM_BANDS
         slabs, slab_order = [], []
+        pieces = {}                                      # v_lo -> piece
         oks = []
 
         def _emit_extract(bands, barr, g, k):
             """The raw data columns of a band group (none/check modes)."""
-            if slab_m27:
+            if grp_of is not None:
+                lo, hi = grp_of[k]
+                pieces[lo] = U5[:, lo:hi, :, :nblk_u, :k] \
+                    .reshape(3, hi - lo, 3, nblk_u * k)
+            elif slab_m27:
                 slabs.append(U[barr][:, :, :nblk_u, :k].reshape(3 * g, -1))
                 slab_order.extend(3 * b + d for b in bands
                                   for d in range(3))
@@ -1022,7 +1125,11 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
             if rs_mode == "none":
                 _emit_extract(bands, barr, g, k)
                 continue
-            Sg = S_all[:, :r][:, :, barr]                # (3, r, g, nblk)
+            if grp_of is not None:
+                lo, hi = grp_of[k]
+                Sg = S5[:, :r, :, lo:hi].reshape(3, r, g, nblk_p)
+            else:
+                Sg = S_all[:, :r][:, :, barr]            # (3, r, g, nblk)
             if rs_mode == "check":
                 dirty = jnp.any(Sg.reshape(3 * r, g, nblk_p) != 0, axis=0)
                 oks.append((~dirty).reshape(-1))
@@ -1030,12 +1137,20 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
                 continue
             if rs_mode != "paged":
                 # full chain over every block of the group
-                g_rd = U[barr].transpose(1, 3, 0, 2) \
+                Ub = (U5[:, grp_of[k][0]:grp_of[k][1]]
+                      .reshape(g, 3, nblk_p, rs.N)
+                      if grp_of is not None else U[barr])
+                g_rd = Ub.transpose(1, 3, 0, 2) \
                     .reshape(3, rs.N, g * nblk_p)
                 d_g, ok_g = rs._correct_pm(
                     g_rd, Sg.reshape(3, r, g * nblk_p), k)
                 data = d_g.reshape(3, k, g, nblk_p)
-                if slab_m27:
+                if grp_of is not None:
+                    lo, hi = grp_of[k]
+                    pieces[lo] = data.reshape(3, k, 3, hi - lo, nblk_p) \
+                        [..., :nblk_u].transpose(2, 3, 0, 4, 1) \
+                        .reshape(3, hi - lo, 3, nblk_u * k)
+                elif slab_m27:
                     slabs.append(data.transpose(2, 0, 3, 1)[:, :, :nblk_u]
                                  .reshape(3 * g, -1))
                     slab_order.extend(3 * b + d for b in bands
@@ -1124,7 +1239,17 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
         # (_unpack702) -- no flat/reshape relayout chain
         max_dp = -(-max(max_d, 1) // 26) * 26
         MB = max_dp // 26
-        if slab_m27:
+        if grp_of is not None:
+            # group pieces (3, nv, 3, cols): pad cols to max_dp, concat
+            # along v -- the (3, 3, 3, max_dp) result reshapes to the
+            # (27, max_dp) grid in TRUE band order (row 9u+3v+d =
+            # 3*(3u+v)+d) with no permutation and no per-band chains.
+            M27 = jnp.concatenate(
+                [jnp.pad(pieces[lo],
+                         ((0, 0), (0, 0), (0, 0),
+                          (0, max_dp - pieces[lo].shape[-1])))
+                 for lo in sorted(pieces)], axis=1).reshape(27, max_dp)
+        elif slab_m27:
             covered = {o // 3 for o in slab_order}
             for b in range(NUM_BANDS):
                 if b not in covered:

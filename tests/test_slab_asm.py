@@ -50,22 +50,26 @@ CFGS = [
 ]
 
 
+@pytest.mark.parametrize("variant", ["slab", "grp"])
 @pytest.mark.parametrize("cfg", CFGS, ids=["uep", "beacon"])
-def test_encode_slab_matches_bands(cfg, monkeypatch):
+def test_encode_slab_matches_bands(cfg, variant, monkeypatch):
+    # grp applies only to the beacon-free residue-class layout (uep cfg);
+    # with a beacon it must silently fall back to the bands path.
     raw = _raw(3 * cfg.superframe_words - 50)
     _with_env(monkeypatch, "bands", "bands")
     w_bands = np.asarray(pipeline.encode_stream_superframes(raw, cfg,
                                                             sf_batch=2))
-    _with_env(monkeypatch, "slab", "bands")
+    _with_env(monkeypatch, variant, "bands")
     w_slab = np.asarray(pipeline.encode_stream_superframes(raw, cfg,
                                                            sf_batch=2))
     _clear_caches()
     assert np.array_equal(w_bands, w_slab)
 
 
+@pytest.mark.parametrize("variant", ["slab", "grp"])
 @pytest.mark.parametrize("cfg", CFGS, ids=["uep", "beacon"])
 @pytest.mark.parametrize("strategy", ["check", "none", "full", "paged"])
-def test_decode_slab_matches_bands(cfg, strategy, monkeypatch):
+def test_decode_slab_matches_bands(cfg, strategy, variant, monkeypatch):
     n = 3 * cfg.superframe_words - 50
     raw = _raw(n)
     _with_env(monkeypatch, "bands", "bands")
@@ -77,7 +81,7 @@ def test_decode_slab_matches_bands(cfg, strategy, monkeypatch):
         wd = wd.at[1, 700, 3].set((wd[1, 700, 3] + 1) % 27)
     out_b, ok_b = pipeline.decode_stream_superframes(
         wd, cfg, n, sf_batch=2, strategy=strategy)
-    _with_env(monkeypatch, "bands", "slab")
+    _with_env(monkeypatch, "bands", variant)
     out_s, ok_s = pipeline.decode_stream_superframes(
         wd, cfg, n, sf_batch=2, strategy=strategy)
     _clear_caches()
