@@ -33,6 +33,10 @@ def main():
     cfg = EncoderConfig(profile=ProfileID.P2_RS26_22, uep=uep_luma_priority())
     # A/B knobs (defaults are the shipped production values)
     sf_batch = int(os.environ.get("T3_BENCH_SF_BATCH", "128"))
+    # raw_wire="planes": stage the RAW input (n_sf, 9, sf) plane-major --
+    # a (sf, 9) word-major int8 array pads its 9-lane minor 14x on every
+    # device read (docs/PERF.md); production ingest writes planes directly
+    raw_wire = os.environ.get("T3_RAW_WIRE", "words")
 
     r = np.random.default_rng(0)
     t = r.integers(0, 3, size=(n_raw, 27)).astype(np.int8)
@@ -46,6 +50,8 @@ def main():
     pad = n_sf * sf - n_raw
     chunks_np = np.concatenate(
         [raw_np, np.zeros((pad, 9), dtype=np.int8)]).reshape(n_sf, sf, 9)
+    if raw_wire == "planes":
+        chunks_np = np.ascontiguousarray(chunks_np.transpose(0, 2, 1))
     chunks = jnp.asarray(chunks_np)
 
     # Production two-phase decode (pipeline.decode_stream_superframes
@@ -55,9 +61,11 @@ def main():
     # every timed batch, so a corrupted stream would fail loudly, and
     # repair would be timed if it ever ran).
     _lay, dlay, enc, dec = pipeline._stream_fns(cfg, sf_batch,
-                                                rs_mode="check")
+                                                rs_mode="check",
+                                                raw_wire=raw_wire)
     _l2, _d2, _e2, dec_fix = pipeline._stream_fns(cfg, sf_batch,
-                                                  rs_mode="paged")
+                                                  rs_mode="paged",
+                                                  raw_wire=raw_wire)
 
     @jax.jit
     def step(c):
@@ -140,7 +148,8 @@ def main():
     from jax import lax as _lx
     _l4, _d4, enc1, dec_chk = pipeline._stream_fns(cfg, sf_batch,
                                                    rs_mode="check",
-                                                   ok_per_sf=True)
+                                                   ok_per_sf=True,
+                                                   raw_wire=raw_wire)
     _l5, _d5, _e5, dec_fix_sf = pipeline._stream_fns(cfg, sf_batch,
                                                      rs_mode="paged",
                                                      ok_per_sf=True)
@@ -213,7 +222,8 @@ def main():
                 outs_d, ok_d = dec_two_phase(wd)
                 assert ok_d, "dirty repair failed"
                 got = np.asarray(outs_d[0, :, :, :sf])[0].T[:16]
-                exp = np.asarray((chunks_np + 1) % 27)[0, :16]
+                exp = np.asarray((chunks_np + 1) % 27)[0]
+                exp = (exp.T if raw_wire == "planes" else exp)[:16]
                 assert np.array_equal(got, exp), "dirty repair wrong data"
                 del outs_d
             t_clean = min(t_clean, _timed(w))

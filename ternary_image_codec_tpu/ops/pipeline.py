@@ -246,6 +246,26 @@ def _pack702():
 
 
 @functools.cache
+def _pack702_dm():
+    """_pack702 for D-MAJOR digit planes: one block = 27 RAW words as a
+    (27, 27) tile [row 9d+b = digit d of symbol b, col = word in block] ->
+    26 grid columns x 27 rows.  P[r*26+i, 9*(t%3) + t//3, w] = 1 iff
+    26*w + t == 27*i + r (t < 26) -- same output row ordering as
+    _pack702, so the downstream grid relayout / RS stages are unchanged.
+
+    Exists so the encoder can extract digits as three (9, sf) planes
+    CONCATENATED along the leading axis instead of a (sf, 9, 3)-minor
+    stack: that stack's 128-lane tile padding measured ~29 ms of the
+    57 ms round-1 encode (prefix probe E0, docs/PERF.md)."""
+    P = np.zeros((702, 27, 27), dtype=np.int8)
+    for i in range(26):
+        for r in range(27):
+            w, t = divmod(27 * i + r, 26)
+            P[r * 26 + i, 9 * (t % 3) + t // 3, w] = 1
+    return P
+
+
+@functools.cache
 def _unpack702_bw():
     """_unpack702 with the word axis reordered to (band, word): last axis
     index b*27 + w instead of w*9 + b, so the decode assembly dot can emit
@@ -341,7 +361,7 @@ def _residue_groups(by_k, blocks):
 
 
 @functools.cache
-def _encode_parts(layout: EncodeLayout):
+def _encode_parts(layout: EncodeLayout, raw_wire: str = "words"):
     """Encode split into (to_cols, rs_stage, build_words) for stage-level
     profiling (tools/profile_stages.py --encode-stages); _encode_fn composes
     them into the one fused jit the pipeline ships.
@@ -352,16 +372,20 @@ def _encode_parts(layout: EncodeLayout):
     the stream-plane (3, L) layout inside to_cols); T3_P5_IMPL=cm keeps the
     round-1 coeff-minor path for A/B.
 
+    raw_wire="planes": to_cols takes (9, n) RAW planes instead of (n, 9)
+    words -- a word-major int8 input pads its 9-lane minor 14x on every
+    read; streaming callers that can produce planes skip that entirely.
+
     Returns (to_cols, rs_stage, build_words, fmt): fmt "pm" build_words
     emits wire-planes (9, total_words); fmt "cm" emits (total_words, 9)."""
     if (_is_p5(layout.cfg.profile, layout.cfg.tile)
             and os.environ.get("T3_P5_IMPL", "pm") == "cm"):
-        return _encode_parts_cm(layout) + ("cm",)
-    return _encode_parts_pm(layout) + ("pm",)
+        return _encode_parts_cm(layout, raw_wire) + ("cm",)
+    return _encode_parts_pm(layout, raw_wire) + ("pm",)
 
 
 @functools.cache
-def _encode_parts_cm(layout: EncodeLayout):
+def _encode_parts_cm(layout: EncodeLayout, raw_wire: str = "words"):
     cfg, geom = layout.cfg, layout.geom
     n_sy = layout.n_sy
     beacon = cfg.beacon
@@ -383,6 +407,8 @@ def _encode_parts_cm(layout: EncodeLayout):
         # Digit-native flow: the 26 useful trits of each word ARE the digit
         # planes of the GF27 symbol stream -- symbols are never packed until
         # the final wire words.  (Every pack/unpack was a full HBM pass.)
+        if raw_wire == "planes":
+            raw_words = raw_words.T
         # 1) words -> trits -> (n_sy, 3) symbol digits (pad tail with 0)
         t = subword.words_to_trits(raw_words)[..., :26].reshape(-1)
         pad = 3 * n_sy - t.shape[0]
@@ -457,7 +483,7 @@ def _encode_parts_cm(layout: EncodeLayout):
 
 
 @functools.cache
-def _encode_parts_pm(layout: EncodeLayout):
+def _encode_parts_pm(layout: EncodeLayout, raw_wire: str = "words"):
     """Plane-major encode: grids are (27, H) [row = 3*band + digit], RS
     blocks are (3, nblk, 26) -- every materialized tensor keeps a large
     axis in the TPU lane dimension (see rs.py "plane-major" notes)."""
@@ -484,12 +510,28 @@ def _encode_parts_pm(layout: EncodeLayout):
     def _digits27(raw_words):
         # words (sf, 9) -> word-major trit planes (sf, 27): trit 3b + d of
         # word w is digit d of symbol b (exact f32 divmod, docs/PERF.md)
+        if raw_wire == "planes":
+            raw_words = raw_words.T
         s = raw_words.astype(jnp.float32)
         q1 = jnp.floor(s * (1.0 / 3.0))
         q2 = jnp.floor(s * (1.0 / 9.0))
         return jnp.stack([s - 3.0 * q1, q1 - 3.0 * q2,
                           q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0))],
                          axis=-1).astype(jnp.int8).reshape(-1, 27)
+
+    def _digits_dm(raw_words):
+        # words -> D-MAJOR trit planes (27, sf) [row 9d+b = digit d of
+        # symbol b, col = word]: digit extraction stays elementwise on the
+        # (9, sf) planes and the three digit planes CONCAT along the
+        # leading axis.  No (sf, 9, 3)-minor stack: that layout's 128-lane
+        # tile padding measured ~29 ms of the 57 ms encode (probe E0).
+        s = (raw_words if raw_wire == "planes" else raw_words.T) \
+            .astype(jnp.float32)                               # (9, sf)
+        q1 = jnp.floor(s * (1.0 / 3.0))
+        q2 = jnp.floor(s * (1.0 / 9.0))
+        return jnp.concatenate([s - 3.0 * q1, q1 - 3.0 * q2,
+                                q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0))],
+                               axis=0).astype(jnp.int8)        # (27, sf)
 
     def to_cols(raw_words):
         # words -> (27, max_need) grid: trit 27j + 3b + d of the useful-trit
@@ -499,6 +541,25 @@ def _encode_parts_pm(layout: EncodeLayout):
         # contraction on the MXU (blocks of 27 words -> 26 grid columns,
         # mirror of the decode-side _unpack702); "chain" keeps the
         # reshape/transpose chain for A/B (T3_ENC_COLS).
+        if cols_impl == "dmaj" and not p5 and max_need:
+            # D-MAJOR digits + the (702, 27, 27) permutation contraction:
+            # the operand "transpose" (word-block split) rides the
+            # dot_general dimension numbers; output ordering matches
+            # dot702 so the downstream grid relayout is shared.
+            nblk7d = -(-max_need // 26)
+            pl = _digits_dm(raw_words)                         # (27, sf)
+            pl = jnp.pad(pl, ((0, 0), (0, nblk7d * 27 - pl.shape[1])))
+            X3 = pl.reshape(27, nblk7d, 27)
+            dt = {"i8": (jnp.int8, jnp.int32), "f32": (jnp.float32,) * 2,
+                  "bf16": (jnp.bfloat16,) * 2}[
+                      os.environ.get("T3_COLS_DOT", "i8")]
+            Y = lax.dot_general(jnp.asarray(_pack702_dm(), dtype=dt[0]),
+                                X3.astype(dt[0]),
+                                (((1, 2), (0, 2)), ((), ())),
+                                preferred_element_type=dt[1])  # (702, nblk7)
+            grid = Y.astype(jnp.int8).reshape(27, 26, nblk7d) \
+                .swapaxes(1, 2).reshape(27, 26 * nblk7d)
+            return grid[:, :max_need]
         t27 = _digits27(raw_words)                             # (sf, 27)
         if p5:
             # P5: interleave the symbol stream in stream-plane (3, L)
@@ -742,11 +803,13 @@ def _encode_parts_pm(layout: EncodeLayout):
 
 
 @functools.cache
-def _encode_fn(layout: EncodeLayout, wire: str = "words"):
+def _encode_fn(layout: EncodeLayout, wire: str = "words",
+               raw_wire: str = "words"):
     """Jitted single-superframe encode.  wire="words": (n, 9) -> (total, 9)
     (the public contract); wire="planes": -> (9, total) with no final
-    transpose (the streaming hot path)."""
-    to_cols, rs_stage, build_words, fmt = _encode_parts(layout)
+    transpose (the streaming hot path).  raw_wire="planes": input is
+    (9, n) RAW planes (see _encode_parts)."""
+    to_cols, rs_stage, build_words, fmt = _encode_parts(layout, raw_wire)
 
     def fn(raw_words):
         out = build_words(rs_stage(to_cols(raw_words)))
@@ -1054,6 +1117,17 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
     # one r=8 syndrome matrix serves every band
     S8 = rs._matrices_pm(18)["S2"]                       # (24, 3, 26)
 
+    # T3_DEC_DIG=dmaj: build the digit grid D-MAJOR (27, H_p), row 9d+b --
+    # the three descrambled digit planes CONCAT along the leading axis
+    # instead of the (9, 3, H)-minor stack (its 32-sublane tile padding
+    # measured ~30 ms/frame of the 40 ms check decode, prefix probe D0).
+    # Syndromes contract straight off the (3, 9, nblk, 26) view via
+    # dot_general dimension numbers; the assembly dot's row order rides
+    # the _unpack702_bw CONSTANT's rows.  check/none modes only (the
+    # repair dispatch keeps the band-major layout), no beacon, no P5.
+    dmaj = (os.environ.get("T3_DEC_DIG", "bands") == "dmaj"
+            and not p5 and bc_band < 0 and rs_mode in ("check", "none"))
+
     def fn_planes(body_T):                               # (9, H)
         wT = jnp.pad(body_T, ((0, 0), (0, H_p - H))).astype(jnp.float32)
         q1 = jnp.floor(wT * (1.0 / 3.0))
@@ -1062,19 +1136,35 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
                   q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0)))
         off = _pm_offsets(H, hdr.seed, -1.0)
         off = jnp.pad(off, ((0, 0), (0, H_p - H)))  # zero offsets past H
-        dig = jnp.stack(
-            [fmod3(p + off[d::3] + 3.0).astype(jnp.int8)
-             for d, p in enumerate(planes)], axis=1).reshape(27, H_p)
+        if dmaj:
+            dig = U = None
+            D = jnp.concatenate(
+                [fmod3(p + off[d::3] + 3.0).astype(jnp.int8)
+                 for d, p in enumerate(planes)], axis=0)   # (27, H_p)
+            D4 = D.reshape(3, NUM_BANDS, H_p)[:, :, :nblk_p * rs.N] \
+                .reshape(3, NUM_BANDS, nblk_p, rs.N)
+            if rs_mode != "none":
+                S_all = lax.dot_general(
+                    jnp.asarray(S8, dtype=jnp.int8), D4,
+                    (((1, 2), (0, 3)), ((), ())),
+                    preferred_element_type=jnp.int32)    # (24, 9, nblk)
+                S_all = fmod3(S_all.astype(jnp.float32)).astype(jnp.int8) \
+                    .reshape(3, 8, NUM_BANDS, nblk_p)
+        else:
+            D4 = None
+            dig = jnp.stack(
+                [fmod3(p + off[d::3] + 3.0).astype(jnp.int8)
+                 for d, p in enumerate(planes)], axis=1).reshape(27, H_p)
 
-        U = dig.reshape(NUM_BANDS, 3, H_p)[:, :, :nblk_p * rs.N] \
-            .reshape(NUM_BANDS, 3, nblk_p, rs.N)
-        if rs_mode != "none":
-            S_all = lax.dot_general(
-                jnp.asarray(S8, dtype=jnp.int8), U,
-                (((1, 2), (1, 3)), ((), ())),
-                preferred_element_type=jnp.int32)        # (24, 9, nblk)
-            S_all = fmod3(S_all.astype(jnp.float32)).astype(jnp.int8) \
-                .reshape(3, 8, NUM_BANDS, nblk_p)
+            U = dig.reshape(NUM_BANDS, 3, H_p)[:, :, :nblk_p * rs.N] \
+                .reshape(NUM_BANDS, 3, nblk_p, rs.N)
+            if rs_mode != "none":
+                S_all = lax.dot_general(
+                    jnp.asarray(S8, dtype=jnp.int8), U,
+                    (((1, 2), (1, 3)), ((), ())),
+                    preferred_element_type=jnp.int32)    # (24, 9, nblk)
+                S_all = fmod3(S_all.astype(jnp.float32)).astype(jnp.int8) \
+                    .reshape(3, 8, NUM_BANDS, nblk_p)
 
         # T3_DEC_M27=slab: build the (27, max_dp) assembly input as 2-3
         # k-group SLABS in slab row order; the band-order permutation rides
@@ -1082,7 +1172,7 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
         # gather.  (The round-1 slab experiment gathered the grid rows on
         # device and regressed -- this variant moves no data.)
         slab_m27 = (os.environ.get("T3_DEC_M27", "bands") == "slab"
-                    and not p5
+                    and not p5 and not dmaj
                     and os.environ.get("T3_DEC_ASM", "v2") != "v1")
         # T3_DEC_M27=grp: residue-class k-groups (see _residue_groups) --
         # group extraction is a strided slice of the (3, 3, 3, ...) band
@@ -1096,7 +1186,10 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
             if rg is not None:
                 grp_of = {k: (lo, hi) for k, lo, hi in rg}
         if grp_of is not None:
-            U5 = U.reshape(3, 3, 3, nblk_p, rs.N)
+            if dmaj:
+                D5 = D4.reshape(3, 3, 3, nblk_p, rs.N)   # (d, u, v, ...)
+            else:
+                U5 = U.reshape(3, 3, 3, nblk_p, rs.N)    # (u, v, d, ...)
             S5 = (S_all.reshape(3, 8, 3, 3, nblk_p)
                   if rs_mode != "none" else None)
         streams = [None] * NUM_BANDS
@@ -1108,12 +1201,19 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
             """The raw data columns of a band group (none/check modes)."""
             if grp_of is not None:
                 lo, hi = grp_of[k]
-                pieces[lo] = U5[:, lo:hi, :, :nblk_u, :k] \
-                    .reshape(3, hi - lo, 3, nblk_u * k)
+                if dmaj:
+                    pieces[lo] = D5[:, :, lo:hi, :nblk_u, :k] \
+                        .reshape(3, 3, hi - lo, nblk_u * k)
+                else:
+                    pieces[lo] = U5[:, lo:hi, :, :nblk_u, :k] \
+                        .reshape(3, hi - lo, 3, nblk_u * k)
             elif slab_m27:
                 slabs.append(U[barr][:, :, :nblk_u, :k].reshape(3 * g, -1))
                 slab_order.extend(3 * b + d for b in bands
                                   for d in range(3))
+            elif dmaj:
+                for b in bands:
+                    streams[b] = D4[:, b, :nblk_u, :k].reshape(3, -1)
             else:
                 for b in bands:
                     streams[b] = U[b][:, :nblk_u, :k].reshape(3, -1)
@@ -1240,15 +1340,17 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
         max_dp = -(-max(max_d, 1) // 26) * 26
         MB = max_dp // 26
         if grp_of is not None:
-            # group pieces (3, nv, 3, cols): pad cols to max_dp, concat
-            # along v -- the (3, 3, 3, max_dp) result reshapes to the
-            # (27, max_dp) grid in TRUE band order (row 9u+3v+d =
-            # 3*(3u+v)+d) with no permutation and no per-band chains.
+            # group pieces (3, nv, 3, cols) [dmaj: (3, 3, nv, cols)]: pad
+            # cols to max_dp, concat along v -- the (3, 3, 3, max_dp)
+            # result reshapes to the (27, max_dp) grid in TRUE band order
+            # (row 9u+3v+d = 3*(3u+v)+d; dmaj row 9d+3u+v = 9d+b) with no
+            # permutation and no per-band chains.
             M27 = jnp.concatenate(
                 [jnp.pad(pieces[lo],
                          ((0, 0), (0, 0), (0, 0),
                           (0, max_dp - pieces[lo].shape[-1])))
-                 for lo in sorted(pieces)], axis=1).reshape(27, max_dp)
+                 for lo in sorted(pieces)],
+                axis=2 if dmaj else 1).reshape(27, max_dp)
         elif slab_m27:
             covered = {o // 3 for o in slab_order}
             for b in range(NUM_BANDS):
@@ -1265,7 +1367,12 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
                      else jnp.zeros((3, 0), dtype=jnp.int8))
                 parts.append(jnp.pad(s,
                                      ((0, 0), (0, max_dp - s.shape[1]))))
-            M27 = jnp.concatenate(parts, axis=0)         # (27, max_dp)
+            if dmaj:
+                # (3, 9, max_dp) -> rows 9d+b; the row order difference
+                # rides the assembly dot's constant below
+                M27 = jnp.stack(parts, axis=1).reshape(27, max_dp)
+            else:
+                M27 = jnp.concatenate(parts, axis=0)     # (27, max_dp)
         if p5:
             # P5: fold the grid to stream-planes (3, L), deinterleave
             # (reshape+row-flip for whole tiles), then ONE contraction
@@ -1282,7 +1389,7 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
                 .astype(jnp.int8)                        # (243, nb27)
             out_T = wT.reshape(NUM_BANDS, 27, nb27).transpose(0, 2, 1) \
                 .reshape(NUM_BANDS, nb27 * 27)[:, :layout.n_out_words]
-        elif os.environ.get("T3_DEC_ASM", "v2") == "v1":
+        elif os.environ.get("T3_DEC_ASM", "v2") == "v1" and not dmaj:
             # v1: explicit block transpose feeding the unpack dot
             blocks27 = M27.reshape(27, MB, 26).transpose(1, 0, 2)
             wout = lax.dot_general(blocks27, jnp.asarray(_unpack702()),
@@ -1301,6 +1408,12 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
             C_bw = np.asarray(_unpack702_bw())
             if slab_m27:
                 C_bw = C_bw[np.asarray(slab_order)]
+            elif dmaj:
+                # M27 rows are 9d+b: permute the CONSTANT's grid-row axis
+                # (position 9d+b holds original row 3b+d) -- zero device
+                # data movement
+                i = np.arange(27)
+                C_bw = C_bw[3 * (i % NUM_BANDS) + i // NUM_BANDS]
             dt = {"i8": (jnp.int8, jnp.int32), "f32": (jnp.float32,) * 2,
                   "bf16": (jnp.bfloat16,) * 2}[
                       os.environ.get("T3_ASM_DOT", "i8")]
@@ -1336,17 +1449,21 @@ def _ceil_div(a: int, b: int) -> int:
 
 @functools.cache
 def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged",
-                ok_per_sf: bool = False):
+                ok_per_sf: bool = False, raw_wire: str = "words"):
     """Build the jitted stream encode/decode pair for one config.
 
     ok_per_sf=False (default): dec_stream returns (raw, ok_scalar).
     ok_per_sf=True: dec_stream returns (raw, ok (n_sf,)) -- per-superframe
     flags (body blocks AND header match), so the two-phase auto decode can
-    re-dispatch the corrector on ONLY the dirty superframes."""
+    re-dispatch the corrector on ONLY the dirty superframes.
+
+    raw_wire="planes": enc_stream takes (n_sf, 9, sf_words) RAW planes --
+    callers that can stage the input plane-major skip the 14x-padded
+    read of a 9-lane-minor word array (docs/PERF.md)."""
     if rs_mode == "legacy":    # historical alias (pre-paged full chain)
         rs_mode = "full"
     layout = build_encode_layout(cfg, cfg.superframe_words)
-    enc_one = _encode_fn(layout, wire="planes")
+    enc_one = _encode_fn(layout, wire="planes", raw_wire=raw_wire)
     sf_hdr = SuperframeHeader(
         profile=cfg.profile, uep=cfg.uep, tile=cfg.tile, seed=cfg.seed,
         beacon=cfg.beacon, subword=cfg.subword, centered=cfg.centered,
@@ -1364,7 +1481,9 @@ def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged",
         return x.reshape(nb, sf_batch, *x.shape[1:])
 
     @jax.jit
-    def enc_stream(chunks):  # (n_sf, sf_words, 9) -> (n_sf, 9, total)
+    def enc_stream(chunks):
+        # (n_sf, sf_words, 9) -> (n_sf, 9, total); raw_wire="planes":
+        # input is (n_sf, 9, sf_words)
         n = chunks.shape[0]
         out = lax.map(jax.vmap(enc_one), _rebatch(chunks))
         return out.reshape(-1, NUM_BANDS, layout.total_words)[:n]
