@@ -96,14 +96,27 @@ def main():
     for b in batches:
         b.block_until_ready()
 
-    @jax.jit
-    def step_frames(cs):
-        def one(c):
-            prof = enc(c)
-            out, ok = dec(prof)
-            return ok, jnp.sum(out.astype(jnp.int32))
-        oks, chks = jax.lax.map(one, cs)
-        return jnp.all(oks), jnp.sum(chks)
+    # T3_BENCH_STRUCT=flat: fused per-superframe encode+check-decode body
+    # over the FLATTENED (frames x superframes) axis -- wire words stay in
+    # VMEM (no ~2x170 MB HBM pass per frame) and the lax.map step count
+    # halves (see pipeline.roundtrip_stream_fn).
+    if os.environ.get("T3_BENCH_STRUCT", "maps") == "flat":
+        rt = pipeline.roundtrip_stream_fn(cfg, sf_batch, rs_mode="check",
+                                          raw_wire=raw_wire)
+
+        @jax.jit
+        def step_frames(cs):
+            out, ok = rt(cs.reshape((-1,) + cs.shape[2:]))
+            return jnp.all(ok), jnp.sum(out.astype(jnp.int32))
+    else:
+        @jax.jit
+        def step_frames(cs):
+            def one(c):
+                prof = enc(c)
+                out, ok = dec(prof)
+                return ok, jnp.sum(out.astype(jnp.int32))
+            oks, chks = jax.lax.map(one, cs)
+            return jnp.all(oks), jnp.sum(chks)
 
     ok_all, chk = step_frames(batches[0])  # compile + warm
     assert bool(ok_all)

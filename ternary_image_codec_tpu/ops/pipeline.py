@@ -1549,6 +1549,80 @@ def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged",
     return layout, dlayout, enc_stream, dec_stream
 
 
+def roundtrip_stream_fn(cfg: EncoderConfig, sf_batch: int,
+                        rs_mode: str = "check", raw_wire: str = "words"):
+    """Fused encode->decode verify roundtrip over a superframe stream.
+
+    The write-verify scrub shape (the stream analog of the reference's
+    selftest_api_roundtrip, old/.../v6_min.hpp:1208-1230): each lax.map
+    micro-batch encodes AND check-decodes its superframes in one fused
+    body, so the wire words live only in VMEM -- they are never
+    materialized to HBM (the separate enc/dec streams each pay a full
+    HBM pass over ~170 MB of profile words per 8K frame).  Only the RAW
+    output, the per-superframe ok flags, and the 6-word header slabs
+    (for the hoisted header validation) reach HBM, and the map step
+    count halves versus running the two streams back to back.
+
+    Returns a jitted fn: chunks (n_sf, sf, 9) [raw_wire="planes":
+    (n_sf, 9, sf)] -> (raw (n_sf, 9, out_words), ok (n_sf,) bool).
+    """
+    layout = build_encode_layout(cfg, cfg.superframe_words)
+    enc_one = _encode_fn(layout, wire="planes", raw_wire=raw_wire)
+    sf_hdr = SuperframeHeader(
+        profile=cfg.profile, uep=cfg.uep, tile=cfg.tile, seed=cfg.seed,
+        beacon=cfg.beacon, subword=cfg.subword, centered=cfg.centered,
+        coset=cfg.coset)
+    dlayout = build_decode_layout(sf_hdr, layout.total_words - HEADER_WORDS)
+    dec_one = _decode_body_fn(dlayout, rs_mode, wire="planes")
+
+    from .gf27 import np_sym_to_dig
+    hdr_syms = header_mod.pack(sf_hdr)
+    expA = np.asarray(hdr_syms[:18], dtype=np.int64)
+    expB = np.concatenate([hdr_syms[18:27], np.zeros(9, dtype=np.int64)])
+    exp_pm = np.stack([np_sym_to_dig(expA).T, np_sym_to_dig(expB).T],
+                      axis=1).astype(np.int8)       # (3, 2, 18)
+
+    def sf_body(c):
+        w = enc_one(c)                               # (9, total) in VMEM
+        out, ok = dec_one(w[:, HEADER_WORDS:])
+        return out, ok, w[:, :HEADER_WORDS]
+
+    body = jax.vmap(sf_body)
+
+    def _rebatch(x):
+        n = x.shape[0]
+        nb = _ceil_div(n, sf_batch)
+        pad = nb * sf_batch - n
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+        return x.reshape(nb, sf_batch, *x.shape[1:])
+
+    @jax.jit
+    def roundtrip(chunks):
+        n = chunks.shape[0]
+        out, ok, hdrs = lax.map(body, _rebatch(chunks))
+        out = out.reshape(-1, NUM_BANDS, dlayout.n_out_words)[:n]
+        ok = ok.reshape(-1)[:n]
+        hdrs = hdrs.reshape(-1, NUM_BANDS, HEADER_WORDS)[:n]
+        # hoisted header validation (same contract as _stream_fns.dec_stream)
+        sy = hdrs.swapaxes(1, 2).reshape(n, HEADER_WORDS * NUM_BANDS)
+        blocks = jnp.concatenate([sy[:, :26], sy[:, 26:52]], axis=0) \
+            .astype(jnp.float32)
+        q1 = jnp.floor(blocks * (1.0 / 3.0))
+        q2 = jnp.floor(blocks * (1.0 / 9.0))
+        dig = jnp.stack([blocks - 3.0 * q1, q1 - 3.0 * q2,
+                         q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0))],
+                        axis=0).astype(jnp.int8)     # (3, 2n, 26)
+        hdr_dig, ok_h = rs.decode_paged_pm_bk(dig, 18, page=64)
+        exp = jnp.broadcast_to(jnp.asarray(exp_pm)[:, :, None, :],
+                               (3, 2, n, 18)).reshape(3, 2 * n, 18)
+        hdr_sf = (ok_h & jnp.all(hdr_dig == exp, axis=(0, 2))) \
+            .reshape(2, n).all(axis=0)
+        return out, ok & hdr_sf
+
+    return roundtrip
+
+
 def encode_stream_superframes(raw_words, cfg: EncoderConfig,
                               sf_batch: int = 64):
     """RAW words -> (n_sf, total_words, 9) profile words, one bounded

@@ -242,6 +242,47 @@ class TestSuperframeStreaming:
         assert ok and hdr.profile == ProfileID.P1_RS26_24
         assert np.array_equal(np.asarray(out)[:32], raw[32:64])
 
+    def test_fused_roundtrip_matches_separate_streams(self):
+        """roundtrip_stream_fn (fused encode+check-decode per micro-batch,
+        wire words VMEM-resident) must return the same RAW planes and ok
+        flags as the separate enc/dec streams, for both raw wires."""
+        from ternary_image_codec_tpu.config import (EncoderConfig, ProfileID,
+                                                    uep_luma_priority)
+        cfg = EncoderConfig(profile=ProfileID.P2_RS26_22,
+                            uep=uep_luma_priority(), superframe_words=64)
+        r = np.random.default_rng(3)
+        n_sf = 5
+        t = r.integers(0, 3, size=(n_sf * 64, 27)).astype(np.int8)
+        t[:, 26] = 0
+        raw = (t.reshape(-1, 9, 3) * np.array([1, 3, 9])).sum(-1) \
+            .astype(np.int8)
+        chunks = raw.reshape(n_sf, 64, 9)
+        _l, _d, enc, dec = pipeline._stream_fns(cfg, 2, rs_mode="check",
+                                                ok_per_sf=True)
+        wire = enc(jnp.asarray(chunks))
+        out_ref, ok_ref = dec(wire)
+        rt = pipeline.roundtrip_stream_fn(cfg, 2, rs_mode="check")
+        out, ok = rt(jnp.asarray(chunks))
+        assert np.array_equal(np.asarray(out), np.asarray(out_ref))
+        assert np.array_equal(np.asarray(ok), np.asarray(ok_ref))
+        assert np.all(np.asarray(ok))
+        # planes wire gives the identical result
+        rtp = pipeline.roundtrip_stream_fn(cfg, 2, rs_mode="check",
+                                           raw_wire="planes")
+        out_p, ok_p = rtp(jnp.asarray(chunks.transpose(0, 2, 1)))
+        assert np.array_equal(np.asarray(out_p), np.asarray(out))
+        assert np.all(np.asarray(ok_p))
+        # a corrupted input word round-trips to DIFFERENT wire words but
+        # still-valid codewords -- the roundtrip is self-consistent, so ok
+        # stays True and the output matches the corrupted input (the fn
+        # verifies the channel, not the source); sanity: output != raw
+        bad = chunks.copy()
+        bad[1, 7, 4] = (bad[1, 7, 4] + 1) % 27
+        out_b, ok_b = rt(jnp.asarray(bad))
+        assert np.all(np.asarray(ok_b))
+        got = np.asarray(out_b[:, :, :64]).transpose(0, 2, 1).reshape(-1, 9)
+        assert np.array_equal(got, bad.reshape(-1, 9))
+
     def test_stream_corrects_errors_via_slow_branch(self):
         """Corrupt one symbol in one superframe: the dirty page must be
         gathered into decode_dig_paged's correction buffer and recover
