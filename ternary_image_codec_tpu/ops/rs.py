@@ -176,7 +176,11 @@ def _bm_core(S3d, r: int, smax: int):
     batch sizes otherwise):
     * iterations (r <= 8) unrolled in Python -> all syndrome-window reads
       are static slices (no take_along_axis gathers);
-    * x^m * B(x) is a select over the <= r possible static shifts;
+    * B(x) is stored PRE-SHIFTED (Bx = x^m B): each iteration needs one
+      static shift of one select's result -- not the O(r^2/2) chain of
+      per-m shift candidates the lazy-m formulation pays (the round-1
+      shape; ~50 fewer small ops per chain instance at r=8, and the m
+      counter disappears);
     * NO field inversion inside the loop -- the classic d/b division is
       replaced by the inversionless update sigma <- b*sigma - d*(x^m B)
       (an inv chain inside the unrolled loop exploded the XLA graph).
@@ -202,10 +206,11 @@ def _bm_core(S3d, r: int, smax: int):
                           _m3i(r2 + r4)], axis=-2)
 
     sigma = jnp.zeros((smax, 3, B_), dtype=jnp.int8).at[0, 0].set(1)
-    Bp = sigma
+    # Bx = x^m * B(x), kept pre-shifted: initially B = 1, m = 1 -> Bx = x
+    Bx = jnp.zeros((smax, 3, B_), dtype=jnp.int8).at[1, 0].set(1)
     bdig = jnp.zeros((1, 3, B_), dtype=jnp.int8).at[0, 0].set(1)
     L = jnp.zeros((B_,), dtype=jnp.int32)
-    m = jnp.ones((B_,), dtype=jnp.int32)
+    zrow = jnp.zeros((1, 3, B_), dtype=jnp.int8)
 
     for n in range(r):
         # discrepancy d = sum_{i=0..min(n,smax-1)} sigma_i * S_{n-i}
@@ -217,22 +222,16 @@ def _bm_core(S3d, r: int, smax: int):
                   .astype(jnp.float32)).astype(jnp.int8)[None]  # (1, 3, B)
 
         dz = jnp.sum(d[0], axis=0) == 0                    # (B,) bool
-        # x^m * B with per-block m in {1..n+1}: select over static shifts
-        zrow = jnp.zeros((1, 3, B_), dtype=jnp.int8)
-        shifted = jnp.concatenate([zrow, Bp[:smax - 1]], axis=0)  # m == 1
-        for k in range(2, n + 2):
-            sh_k = jnp.concatenate(
-                [jnp.zeros((k, 3, B_), dtype=jnp.int8), Bp[:smax - k]], axis=0)
-            shifted = jnp.where((m == k)[None, None, :], sh_k, shifted)
         # inversionless update: sigma <- b*sigma - d*(x^m B)
-        upd = _m3i(m3(bdig, sigma) - m3(d, shifted))
+        upd = _m3i(m3(bdig, sigma) - m3(d, Bx))
         sigma_new = jnp.where(dz[None, None, :], sigma, upd)
 
         grow = ((~dz) & (2 * L <= n))[None, None, :]
-        Bp = jnp.where(grow, sigma, Bp)
+        # next x^m B: grow -> x*sigma (m resets to 1); else -> x*Bx
+        base = jnp.where(grow, sigma, Bx)
+        Bx = jnp.concatenate([zrow, base[:smax - 1]], axis=0)
         bdig = jnp.where(grow, d, bdig)
         L = jnp.where(grow[0, 0], n + 1 - L, L)
-        m = jnp.where(grow[0, 0], 1, m + 1)
         sigma = sigma_new
 
     return sigma, L                                        # (smax, 3, B)
