@@ -89,7 +89,9 @@ def main():
     # (docs/PERF.md "machine constants"), which a per-frame loop would
     # charge to every frame; production streaming pipelines frames the
     # same way.
-    iters = int(os.environ.get("T3_BENCH_ITERS", "8"))
+    # 16 frames per dispatch: the ~25 ms tunnel floor amortizes to ~1.6 ms
+    # per frame (measured +0.6-0.9 fps over 8 in two independent series)
+    iters = int(os.environ.get("T3_BENCH_ITERS", "16"))
     batches = [jnp.asarray(np.stack(
         [(chunks_np + iters * bi + i) % 27 for i in range(1, iters + 1)]))
         for bi in range(3)]
@@ -101,13 +103,16 @@ def main():
     # VMEM (no ~2x170 MB HBM pass per frame) and the lax.map step count
     # halves (see pipeline.roundtrip_stream_fn).
     if os.environ.get("T3_BENCH_STRUCT", "maps") == "flat":
-        rt = pipeline.roundtrip_stream_fn(cfg, sf_batch, rs_mode="check",
-                                          raw_wire=raw_wire)
+        # per-superframe checksum fold: decoded planes never reach HBM
+        # (the maps path reduces inside its frame body the same way)
+        rt = pipeline.roundtrip_stream_fn(
+            cfg, sf_batch, rs_mode="check", raw_wire=raw_wire,
+            fold=lambda o: jnp.sum(o.astype(jnp.int32)))
 
         @jax.jit
         def step_frames(cs):
-            out, ok = rt(cs.reshape((-1,) + cs.shape[2:]))
-            return jnp.all(ok), jnp.sum(out.astype(jnp.int32))
+            chks, ok = rt(cs.reshape((-1,) + cs.shape[2:]))
+            return jnp.all(ok), jnp.sum(chks)
     else:
         @jax.jit
         def step_frames(cs):
@@ -203,10 +208,13 @@ def main():
     del batches  # ~3.6 GB HBM; the dirty phase rebuilds inputs per set
 
     D = 20                                       # dirty superframes/frame
+    # dirty phase holds clean+dirty word sets live -- cap its frame batch
+    # at the proven HBM envelope (iters=8 full run, docs/PERF.md)
+    d_iters = min(iters, 8)
     r2 = np.random.default_rng(1)
-    fi = np.repeat(np.arange(iters), D)
+    fi = np.repeat(np.arange(d_iters), D)
     si = np.stack([r2.choice(n_sf, D, replace=False)
-                   for _ in range(iters)]).reshape(-1)
+                   for _ in range(d_iters)]).reshape(-1)
 
     def _timed(ws):
         t0 = time.perf_counter()
@@ -215,7 +223,7 @@ def main():
         _ = float(jnp.sum(outs[0, 0, :8].astype(jnp.int32)))
         dtv = time.perf_counter() - t0
         del outs
-        return dtv / iters
+        return dtv / d_iters
 
     # HBM discipline: one (clean, dirty) word set live at a time (a frame
     # batch of profile words is ~1.5 GB; holding several OOMs the chip)
@@ -224,8 +232,8 @@ def main():
     try:
         for bi in range(2):
             b = jnp.asarray(np.stack(
-                [(chunks_np + iters * bi + i) % 27
-                 for i in range(1, iters + 1)]))
+                [(chunks_np + d_iters * bi + i) % 27
+                 for i in range(1, d_iters + 1)]))
             w = enc_frames(b)
             w.block_until_ready()
             del b

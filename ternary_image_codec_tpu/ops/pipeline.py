@@ -1550,7 +1550,8 @@ def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged",
 
 
 def roundtrip_stream_fn(cfg: EncoderConfig, sf_batch: int,
-                        rs_mode: str = "check", raw_wire: str = "words"):
+                        rs_mode: str = "check", raw_wire: str = "words",
+                        fold=None):
     """Fused encode->decode verify roundtrip over a superframe stream.
 
     The write-verify scrub shape (the stream analog of the reference's
@@ -1565,6 +1566,11 @@ def roundtrip_stream_fn(cfg: EncoderConfig, sf_batch: int,
 
     Returns a jitted fn: chunks (n_sf, sf, 9) [raw_wire="planes":
     (n_sf, 9, sf)] -> (raw (n_sf, 9, out_words), ok (n_sf,) bool).
+
+    fold: optional per-superframe reducer ((9, out_words) int8 -> pytree).
+    When given, the decoded planes are folded INSIDE the map body (they
+    never reach HBM -- e.g. a checksum or a quality metric) and the fn
+    returns (folded (n_sf, ...), ok) instead of the raw planes.
     """
     layout = build_encode_layout(cfg, cfg.superframe_words)
     enc_one = _encode_fn(layout, wire="planes", raw_wire=raw_wire)
@@ -1585,6 +1591,8 @@ def roundtrip_stream_fn(cfg: EncoderConfig, sf_batch: int,
     def sf_body(c):
         w = enc_one(c)                               # (9, total) in VMEM
         out, ok = dec_one(w[:, HEADER_WORDS:])
+        if fold is not None:
+            out = fold(out)
         return out, ok, w[:, :HEADER_WORDS]
 
     body = jax.vmap(sf_body)
@@ -1601,7 +1609,8 @@ def roundtrip_stream_fn(cfg: EncoderConfig, sf_batch: int,
     def roundtrip(chunks):
         n = chunks.shape[0]
         out, ok, hdrs = lax.map(body, _rebatch(chunks))
-        out = out.reshape(-1, NUM_BANDS, dlayout.n_out_words)[:n]
+        out = (out.reshape(-1, NUM_BANDS, dlayout.n_out_words)
+               if fold is None else out.reshape((-1,) + out.shape[2:]))[:n]
         ok = ok.reshape(-1)[:n]
         hdrs = hdrs.reshape(-1, NUM_BANDS, HEADER_WORDS)[:n]
         # hoisted header validation (same contract as _stream_fns.dec_stream)
