@@ -1516,6 +1516,8 @@ def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged",
     exp_pm = np.stack([np_sym_to_dig(expA).T, np_sym_to_dig(expB).T],
                       axis=1).astype(np.int8)
 
+    hdr_wire_T = np.asarray(layout.header_words.T, dtype=np.int8)  # (9, 6)
+
     @jax.jit
     def dec_stream(words):  # (n_sf, 9, total) -> ((n_sf, 9, out_words), ok)
         n = words.shape[0]
@@ -1525,6 +1527,18 @@ def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged",
             raw, ok = lax.map(dec_body, _rebatch(words[:, :, HEADER_WORDS:]))
             raw = raw.reshape(-1, NUM_BANDS, dlayout.n_out_words)[:n]
             ok = ok.reshape(-1)[:n]                 # (n,) per superframe
+        if rs_mode == "check":
+            # scrub semantics (match the body): an intact header is a
+            # compile-time CONSTANT -- byte-compare the 6 wire words
+            # instead of RS-decoding 2n blocks.  Any header damage flags
+            # the superframe; the auto strategy's paged repair dispatch
+            # then RS-decodes it properly (correctable damage stays ok
+            # end to end, exactly as before).
+            hdr_sf = jnp.all(words[:, :, :HEADER_WORDS]
+                             == jnp.asarray(hdr_wire_T), axis=(1, 2))
+            if ok_per_sf:
+                return raw, ok & hdr_sf
+            return raw, jnp.all(ok) & jnp.all(hdr_sf)
         # header symbols word-major: (9, 6) slab -> (6, 9) -> 54
         sy = words[:, :, :HEADER_WORDS].swapaxes(1, 2) \
             .reshape(n, HEADER_WORDS * NUM_BANDS)
@@ -1614,6 +1628,11 @@ def roundtrip_stream_fn(cfg: EncoderConfig, sf_batch: int,
         ok = ok.reshape(-1)[:n]
         hdrs = hdrs.reshape(-1, NUM_BANDS, HEADER_WORDS)[:n]
         # hoisted header validation (same contract as _stream_fns.dec_stream)
+        if rs_mode == "check":
+            hdr_sf = jnp.all(hdrs == jnp.asarray(
+                np.asarray(layout.header_words.T, dtype=np.int8)),
+                axis=(1, 2))
+            return out, ok & hdr_sf
         sy = hdrs.swapaxes(1, 2).reshape(n, HEADER_WORDS * NUM_BANDS)
         blocks = jnp.concatenate([sy[:, :26], sy[:, 26:52]], axis=0) \
             .astype(jnp.float32)
@@ -1672,11 +1691,14 @@ def decode_stream_superframes(words, cfg: EncoderConfig, n_raw: int,
 
     strategy="auto" (default) is the production two-phase decode: phase 1
     verifies + extracts in one dispatch (rs_mode="check" -- a full
-    syndrome check of every block, no correction machinery) and returns
+    syndrome check of every block, no correction machinery; headers are
+    byte-compared against the config's constant wire words) and returns
     per-superframe dirty flags; phase 2 dispatches the page-compacted
     corrector on ONLY the flagged superframes (host-level gather), so a
     single flipped trit costs one small repair dispatch, not a full
-    re-decode of the stream.  Intact streams -- the overwhelmingly common
+    re-decode of the stream.  Correctable header damage is flagged by
+    phase 1 and repaired by phase 2's RS header decode -- ok end to end,
+    same as before, without every clean superframe paying the chain.  Intact streams -- the overwhelmingly common
     case -- never pay for correction.  The branch lives on the HOST: a
     device-side lax.cond was measured SLOWER than just always correcting
     (docs/PERF.md).  strategy="paged"/"full"/"check"/"none" force a

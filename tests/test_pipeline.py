@@ -408,6 +408,20 @@ class TestSuperframeStreaming:
         _l, _d, _e, dec_n = pipeline._stream_fns(cfg, 2, rs_mode="none")
         _o, ok_n = dec_n(jnp.asarray(corr).swapaxes(1, 2))
         assert bool(ok_n)  # "none" trusts the stream by design
+        # header damage: check flags it (byte-compare vs the constant
+        # header words -- scrub semantics); none RS-decodes the header
+        # and a correctable single error stays ok
+        corr_h = prof.copy()
+        corr_h[1, 0, 3] = (corr_h[1, 0, 3] + 1) % 27
+        _o, ok_ch = dec_c(jnp.asarray(corr_h).swapaxes(1, 2))
+        assert not bool(ok_ch)
+        _o, ok_nh = dec_n(jnp.asarray(corr_h).swapaxes(1, 2))
+        assert bool(ok_nh)
+        # ...and the auto strategy repairs it end to end (phase 2 header
+        # RS decode), so correctable header damage stays ok
+        out_h, ok_auto = pipeline.decode_stream_superframes(
+            corr_h, cfg, n_raw, sf_batch=2)
+        assert bool(ok_auto) and np.array_equal(np.asarray(out_h), raw)
 
     def test_auto_repairs_only_flagged_superframes(self):
         """Phase 1 flags exactly the corrupted superframes; phase 2 repairs
