@@ -48,6 +48,50 @@ def _as_u8(data) -> np.ndarray:
     return np.asarray(data, dtype=np.uint8).reshape(-1)
 
 
+_VTABLES: Optional[Tuple[int, np.ndarray]] = None
+
+
+def _vtables() -> Tuple[int, np.ndarray]:
+    """Position-class contribution tables for the vectorized fallback.
+
+    The byte update state' = M[state] ^ K[byte] is affine with M linear
+    over GF(2) and M[0] = 0, so the final CRC is the XOR of per-byte
+    contributions M^d(K[byte]) where d = distance from the stream end.
+    M (multiply by x^8 mod g) is invertible (g has a +1 term), so M^d
+    cycles with period p <= 4095: T[d % p, byte] covers every position.
+    """
+    global _VTABLES
+    if _VTABLES is None:
+        m, k = _tables()
+        ident = np.arange(4096, dtype=np.uint16)
+        cur = m[ident]
+        p = 1
+        while not np.array_equal(cur, ident):
+            cur = m[cur]
+            p += 1
+        T = np.empty((p, 256), dtype=np.uint16)
+        T[0] = k
+        for d in range(1, p):
+            T[d] = m[T[d - 1]]
+        _VTABLES = (p, T)
+    return _VTABLES
+
+
+def _crc12_numpy(b: np.ndarray) -> int:
+    """Vectorized CRC-12 via XOR-reduce of position-class contributions
+    (chunked; no O(n) index array held live)."""
+    p, T = _vtables()
+    n = b.size
+    acc = 0
+    step = 1 << 22
+    for i in range(0, n, step):
+        j = min(i + step, n)
+        # distance from the end for positions [i, j): n-1-i .. n-j
+        d = (np.arange(n - 1 - i, n - 1 - j, -1, dtype=np.int64)) % p
+        acc ^= int(np.bitwise_xor.reduce(T[d, b[i:j]]))
+    return acc & 0xFFF
+
+
 def crc12_0x80F(data) -> int:
     """Bit-faithful CRC-12, polynomial 0x80F, init 0 (src/t3dump.cpp:48-62)."""
     b = _as_u8(data)
@@ -57,6 +101,8 @@ def crc12_0x80F(data) -> int:
             return native.crc12_0x80F(b)
     except ImportError:
         pass
+    if b.size >= 4096:          # table-build amortizes; full-payload
+        return _crc12_numpy(b)  # signatures stay fast with no compiler
     m, k = _tables()
     crc = 0
     for byte in b.tolist():

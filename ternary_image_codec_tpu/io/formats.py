@@ -147,9 +147,13 @@ def _save_exr_openexr(path: str, f32: np.ndarray) -> None:
         finally:
             out.close()
         return
-    # OpenEXR >= 3.2 "File" API
-    OpenEXR.File({"channels": {c: p for c, p in zip("RGB", planes)}}) \
-        .write(path)
+    # OpenEXR >= 3.2 "File" API: File(header, channels) with an
+    # interleaved (h, w, 3) "RGB" channel array
+    header = {"compression": OpenEXR.ZIP_COMPRESSION,
+              "type": OpenEXR.scanlineimage}
+    channels = {"RGB": np.ascontiguousarray(f32[..., :3],
+                                            dtype=np.float32)}
+    OpenEXR.File(header, channels).write(path)
 
 
 def _save(fmt: str, path: str, rgb: np.ndarray) -> None:

@@ -538,9 +538,13 @@ def t3proto_peek(path: str) -> Tuple[ProtoProfile, int, int, int, int, int,
         if ver != 1:
             raise ContainerError("t3proto: unsupported version")
         n_trits, n_bytes, meta_len = struct.unpack("<QQI", f.read(20))
-        meta = f.read(meta_len).decode("utf-8") if meta_len else ""
-        if len(meta.encode("utf-8")) != meta_len:
+        raw_meta = f.read(meta_len) if meta_len else b""
+        if len(raw_meta) != meta_len:
             raise ContainerError("t3proto: truncated meta")
+        try:
+            meta = raw_meta.decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise ContainerError(f"t3proto: bad meta encoding: {e}")
     return ProtoProfile(prof), w, h, flags, n_trits, n_bytes, meta
 
 
@@ -556,7 +560,13 @@ def t3proto_read(path: str, want_balanced: bool = True, want_packed: bool = True
         if ver != 1:
             raise ContainerError("t3proto: unsupported version")
         n_trits, n_bytes, meta_len = struct.unpack("<QQI", f.read(20))
-        meta = f.read(meta_len).decode("utf-8") if meta_len else ""
+        raw_meta = f.read(meta_len) if meta_len else b""
+        if len(raw_meta) != meta_len:
+            raise ContainerError("t3proto: truncated meta")
+        try:
+            meta = raw_meta.decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise ContainerError(f"t3proto: bad meta encoding: {e}")
         bal = pack = None
         if flags & F_BAL_PRESENT:
             buf = f.read(n_trits)

@@ -649,8 +649,6 @@ def _encode_parts_pm(layout: EncodeLayout, raw_wire: str = "words"):
         """Group-level RS encode: one dot_general per distinct k over the
         grid's band rows directly (non-beacon bands share the same block
         count) -- no per-band slicing/concat chains."""
-        from jax import lax as _lax
-        from .gf27 import fmod3
         if res_grp is not None:
             # residue-class groups: extraction is a strided slice of the
             # (3, 3, 3, m) band split -- no row gather
@@ -667,29 +665,7 @@ def _encode_parts_pm(layout: EncodeLayout, raw_wire: str = "words"):
             nblk = geom.blocks[bands[0]]
             rows = np.asarray([3 * b + d for b in bands for d in range(3)])
             Ug = cols[rows, :nblk * k].reshape(len(bands), 3, nblk, k)
-            M = rs._matrices_pm(k)
-            if parity_rs:
-                r_ = rs.N - k
-                Gp = np.asarray(M["G2"]).reshape(3, rs.N, 3, k)[:, k:] \
-                    .reshape(3 * r_, 3, k)
-                y = _lax.dot_general(jnp.asarray(Gp, dtype=jnp.int8), Ug,
-                                     (((1, 2), (1, 3)), ((), ())),
-                                     preferred_element_type=jnp.int32)
-                par = fmod3(y.astype(jnp.float32)).astype(jnp.int8) \
-                    .reshape(3, r_, len(bands), nblk).transpose(2, 0, 3, 1)
-                cw = jnp.concatenate([Ug, par], axis=-1)  # (g,3,nblk,26)
-                if slab_asm:
-                    group_slabs.append(cw)
-                    continue
-                for gi, b in enumerate(bands):
-                    enc[b] = cw[gi]
-                continue
-            y = _lax.dot_general(jnp.asarray(M["G2"], dtype=jnp.int8), Ug,
-                                 (((1, 2), (1, 3)), ((), ())),
-                                 preferred_element_type=jnp.int32)
-            y = fmod3(y.astype(jnp.float32)).astype(jnp.int8)
-            cw = y.reshape(3, rs.N, len(bands), nblk) \
-                .transpose(2, 0, 3, 1)            # (g, 3, nblk, 26)
+            cw = _rs_one(Ug, k, nblk, len(bands))  # (g, 3, nblk, 26)
             if slab_asm:
                 group_slabs.append(cw)
                 continue
@@ -1447,6 +1423,50 @@ def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _header_validator(layout, sf_hdr, rs_mode: str):
+    """Shared superframe-header validation for the stream decoders.
+
+    Returns validate(hdrs (n, 9, 6) wire slabs) -> (n,) bool.  check mode:
+    scrub semantics -- an intact header is a compile-time constant for the
+    config, so equality against the 6 expected wire words suffices (any
+    damage flags the superframe; the auto strategy's paged repair then
+    RS-decodes it).  Other modes: on-device RS(26,18) decode of both
+    header blocks + corrected-payload match (the reference decodes every
+    superframe header, old/.../v6_min.hpp:918-937)."""
+    if rs_mode == "check":
+        hdr_wire_T = np.asarray(layout.header_words.T, dtype=np.int8)
+
+        def validate(hdrs):
+            return jnp.all(hdrs == jnp.asarray(hdr_wire_T), axis=(1, 2))
+        return validate
+
+    from .gf27 import np_sym_to_dig
+    hdr_syms = header_mod.pack(sf_hdr)
+    expA = np.asarray(hdr_syms[:18], dtype=np.int64)
+    expB = np.concatenate([hdr_syms[18:27], np.zeros(9, dtype=np.int64)])
+    exp_pm = np.stack([np_sym_to_dig(expA).T, np_sym_to_dig(expB).T],
+                      axis=1).astype(np.int8)    # (3, 2, 18)
+
+    def validate(hdrs):
+        n = hdrs.shape[0]
+        # header symbols word-major: (9, 6) slab -> (6, 9) -> 54
+        sy = hdrs.swapaxes(1, 2).reshape(n, HEADER_WORDS * NUM_BANDS)
+        blocks = jnp.concatenate([sy[:, :26], sy[:, 26:52]], axis=0) \
+            .astype(jnp.float32)                 # (2n, 26)
+        q1 = jnp.floor(blocks * (1.0 / 3.0))
+        q2 = jnp.floor(blocks * (1.0 / 9.0))
+        dig = jnp.stack([blocks - 3.0 * q1, q1 - 3.0 * q2,
+                         q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0))],
+                        axis=0).astype(jnp.int8)  # (3, 2n, 26)
+        # paged: intact headers skip the r=8 chain almost entirely
+        hdr_dig, ok_h = rs.decode_paged_pm_bk(dig, 18, page=64)
+        exp = jnp.broadcast_to(jnp.asarray(exp_pm)[:, :, None, :],
+                               (3, 2, n, 18)).reshape(3, 2 * n, 18)
+        return (ok_h & jnp.all(hdr_dig == exp, axis=(0, 2))) \
+            .reshape(2, n).all(axis=0)
+    return validate
+
+
 @functools.cache
 def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged",
                 ok_per_sf: bool = False, raw_wire: str = "words"):
@@ -1502,21 +1522,12 @@ def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged",
             dec_fused = dec_pallas.check_decode_fn(
                 dlayout, interpret=jax.default_backend() == "cpu")
 
-    # expected header payload (the reference decodes every superframe's
-    # header, old/.../v6_min.hpp:918-937; the stream decoder RS-decodes
-    # both RS(26,18) header blocks on device and requires the corrected
-    # payload to match the caller's config -- catching header corruption
-    # beyond t=4 errors AND config mismatch, instead of silently trusting
-    # the caller)
-    from .gf27 import np_sym_to_dig
-    hdr_syms = header_mod.pack(sf_hdr)
-    expA = np.asarray(hdr_syms[:18], dtype=np.int64)
-    expB = np.concatenate([hdr_syms[18:27], np.zeros(9, dtype=np.int64)])
-    # expected data digits, plane-major (3, 2 blocks, 18)
-    exp_pm = np.stack([np_sym_to_dig(expA).T, np_sym_to_dig(expB).T],
-                      axis=1).astype(np.int8)
-
-    hdr_wire_T = np.asarray(layout.header_words.T, dtype=np.int8)  # (9, 6)
+    # header validation: check mode byte-compares the constant wire words
+    # (scrub); other modes RS-decode both header blocks on device and
+    # require the corrected payload to match the caller's config --
+    # catching header corruption beyond t=4 errors AND config mismatch,
+    # instead of silently trusting the caller (_header_validator)
+    validate_hdrs = _header_validator(layout, sf_hdr, rs_mode)
 
     @jax.jit
     def dec_stream(words):  # (n_sf, 9, total) -> ((n_sf, 9, out_words), ok)
@@ -1527,38 +1538,10 @@ def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged",
             raw, ok = lax.map(dec_body, _rebatch(words[:, :, HEADER_WORDS:]))
             raw = raw.reshape(-1, NUM_BANDS, dlayout.n_out_words)[:n]
             ok = ok.reshape(-1)[:n]                 # (n,) per superframe
-        if rs_mode == "check":
-            # scrub semantics (match the body): an intact header is a
-            # compile-time CONSTANT -- byte-compare the 6 wire words
-            # instead of RS-decoding 2n blocks.  Any header damage flags
-            # the superframe; the auto strategy's paged repair dispatch
-            # then RS-decodes it properly (correctable damage stays ok
-            # end to end, exactly as before).
-            hdr_sf = jnp.all(words[:, :, :HEADER_WORDS]
-                             == jnp.asarray(hdr_wire_T), axis=(1, 2))
-            if ok_per_sf:
-                return raw, ok & hdr_sf
-            return raw, jnp.all(ok) & jnp.all(hdr_sf)
-        # header symbols word-major: (9, 6) slab -> (6, 9) -> 54
-        sy = words[:, :, :HEADER_WORDS].swapaxes(1, 2) \
-            .reshape(n, HEADER_WORDS * NUM_BANDS)
-        blocks = jnp.concatenate([sy[:, :26], sy[:, 26:52]], axis=0) \
-            .astype(jnp.float32)                    # (2n, 26)
-        q1 = jnp.floor(blocks * (1.0 / 3.0))
-        q2 = jnp.floor(blocks * (1.0 / 9.0))
-        dig = jnp.stack([blocks - 3.0 * q1, q1 - 3.0 * q2,
-                         q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0))],
-                        axis=0).astype(jnp.int8)    # (3, 2n, 26)
-        # paged: intact headers skip the r=8 chain almost entirely
-        hdr_dig, ok_h = rs.decode_paged_pm_bk(dig, 18, page=64)
-        exp = jnp.broadcast_to(jnp.asarray(exp_pm)[:, :, None, :],
-                               (3, 2, n, 18)).reshape(3, 2 * n, 18)
+        hdr_sf = validate_hdrs(words[:, :, :HEADER_WORDS])
         if ok_per_sf:
-            hdr_sf = (ok_h & jnp.all(hdr_dig == exp, axis=(0, 2))) \
-                .reshape(2, n).all(axis=0)          # (n,)
             return raw, ok & hdr_sf
-        hdr_ok = jnp.all(ok_h) & jnp.all(hdr_dig == exp)
-        return raw, jnp.all(ok) & hdr_ok
+        return raw, jnp.all(ok) & jnp.all(hdr_sf)
 
     return layout, dlayout, enc_stream, dec_stream
 
@@ -1581,7 +1564,7 @@ def roundtrip_stream_fn(cfg: EncoderConfig, sf_batch: int,
     Returns a jitted fn: chunks (n_sf, sf, 9) [raw_wire="planes":
     (n_sf, 9, sf)] -> (raw (n_sf, 9, out_words), ok (n_sf,) bool).
 
-    fold: optional per-superframe reducer ((9, out_words) int8 -> pytree).
+    fold: optional per-superframe reducer ((9, out_words) int8 -> array).
     When given, the decoded planes are folded INSIDE the map body (they
     never reach HBM -- e.g. a checksum or a quality metric) and the fn
     returns (folded (n_sf, ...), ok) instead of the raw planes.
@@ -1594,13 +1577,7 @@ def roundtrip_stream_fn(cfg: EncoderConfig, sf_batch: int,
         coset=cfg.coset)
     dlayout = build_decode_layout(sf_hdr, layout.total_words - HEADER_WORDS)
     dec_one = _decode_body_fn(dlayout, rs_mode, wire="planes")
-
-    from .gf27 import np_sym_to_dig
-    hdr_syms = header_mod.pack(sf_hdr)
-    expA = np.asarray(hdr_syms[:18], dtype=np.int64)
-    expB = np.concatenate([hdr_syms[18:27], np.zeros(9, dtype=np.int64)])
-    exp_pm = np.stack([np_sym_to_dig(expA).T, np_sym_to_dig(expB).T],
-                      axis=1).astype(np.int8)       # (3, 2, 18)
+    validate_hdrs = _header_validator(layout, sf_hdr, rs_mode)
 
     def sf_body(c):
         w = enc_one(c)                               # (9, total) in VMEM
@@ -1628,25 +1605,7 @@ def roundtrip_stream_fn(cfg: EncoderConfig, sf_batch: int,
         ok = ok.reshape(-1)[:n]
         hdrs = hdrs.reshape(-1, NUM_BANDS, HEADER_WORDS)[:n]
         # hoisted header validation (same contract as _stream_fns.dec_stream)
-        if rs_mode == "check":
-            hdr_sf = jnp.all(hdrs == jnp.asarray(
-                np.asarray(layout.header_words.T, dtype=np.int8)),
-                axis=(1, 2))
-            return out, ok & hdr_sf
-        sy = hdrs.swapaxes(1, 2).reshape(n, HEADER_WORDS * NUM_BANDS)
-        blocks = jnp.concatenate([sy[:, :26], sy[:, 26:52]], axis=0) \
-            .astype(jnp.float32)
-        q1 = jnp.floor(blocks * (1.0 / 3.0))
-        q2 = jnp.floor(blocks * (1.0 / 9.0))
-        dig = jnp.stack([blocks - 3.0 * q1, q1 - 3.0 * q2,
-                         q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0))],
-                        axis=0).astype(jnp.int8)     # (3, 2n, 26)
-        hdr_dig, ok_h = rs.decode_paged_pm_bk(dig, 18, page=64)
-        exp = jnp.broadcast_to(jnp.asarray(exp_pm)[:, :, None, :],
-                               (3, 2, n, 18)).reshape(3, 2 * n, 18)
-        hdr_sf = (ok_h & jnp.all(hdr_dig == exp, axis=(0, 2))) \
-            .reshape(2, n).all(axis=0)
-        return out, ok & hdr_sf
+        return out, ok & validate_hdrs(hdrs)
 
     return roundtrip
 

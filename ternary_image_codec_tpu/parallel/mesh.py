@@ -178,10 +178,13 @@ def encode_stream_sharded(raw_words, cfg: EncoderConfig, mesh: Mesh):
     enc_one = pipeline._encode_fn(layout)
     # the profile word count (header + RS-padded body) is rarely divisible
     # by the mesh size -- only pin the output sharding when it is, else let
-    # GSPMD choose (the input stays sharded either way)
-    out_spec = (PSpec("data", None)
-                if layout.total_words % mesh.devices.size == 0 else PSpec())
-    fn = jax.jit(enc_one,
-                 in_shardings=NamedSharding(mesh, PSpec("data", None)),
-                 out_shardings=NamedSharding(mesh, out_spec))
+    # GSPMD choose (omit out_shardings; a PSpec() pin would force a full
+    # replication all-gather, n_devices x the HBM)
+    if layout.total_words % mesh.devices.size == 0:
+        fn = jax.jit(enc_one,
+                     in_shardings=NamedSharding(mesh, PSpec("data", None)),
+                     out_shardings=NamedSharding(mesh, PSpec("data", None)))
+    else:
+        fn = jax.jit(enc_one,
+                     in_shardings=NamedSharding(mesh, PSpec("data", None)))
     return fn(jnp.asarray(raw_words))

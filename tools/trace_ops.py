@@ -59,9 +59,9 @@ def device_op_times(xs):
                     for src in (ev.stats, m.stats if m else ()):
                         for st in src:
                             k = st_meta.get(st.metadata_id, "?")
-                            v = (st.str_value or st.int64_value
-                                 or st.uint64_value or st.double_value
-                                 or st.ref_value)
+                            # oneof-aware: `or`-chaining drops falsy zeros
+                            which = st.WhichOneof("value")
+                            v = getattr(st, which) if which else ""
                             parts.append(f"{k}={v}")
                     a[2] = " ".join(str(p) for p in parts)[:220]
         if agg:
