@@ -63,19 +63,36 @@ def main(argv=None) -> int:
             f.seek(0, os.SEEK_END)
         else:
             f.write(LC._t3v_old_header_bytes(hdr))
-        for fi, path in enumerate(inputs[start:], start=start):
+
+        # pipelined executor: host PNG decode of frame i+1, device encode
+        # of frame i, and container/PNG serialization of frame i-1 run
+        # concurrently (runtime/executor.py) -- the sequential reference
+        # loop (old/src/main_video_t3v.cpp:16-40) has no such overlap.
+        from ..runtime.executor import StreamExecutor
+
+        def load(path):
             rgb = I.load_image_rgb8(path)
             h, w = rgb.shape[0], rgb.shape[1]
             q = Q.rgb_to_quant(jnp.asarray(rgb)).reshape(-1, 3)
-            raw = WC.quant_to_words9(q)
-            prof = np.asarray(PL.encode_profile_from_raw(raw, cfg))
-            offsets.append(f.tell())
-            f.write(LC._t3v_old_frame_bytes(prof))
-            # per-frame RAW PNG export (old/src/main_video_t3v.cpp:31)
+            return WC.quant_to_words9(q), w, h
+
+        def device(x):
+            raw, w, h = x
+            prof = PL.encode_profile_from_raw(raw, cfg)     # async dispatch
             qs = WC.words9_to_quant(raw, n_pixels=w * h)
-            rgb2 = np.asarray(Q.quant_to_rgb(qs)).reshape(h, w, 3)
+            rgb2 = Q.quant_to_rgb(qs)
+            return prof, rgb2, w, h
+
+        def write(fi, y):
+            prof, rgb2, w, h = y
+            offsets.append(f.tell())
+            f.write(LC._t3v_old_frame_bytes(np.asarray(prof)))
+            # per-frame RAW PNG export (old/src/main_video_t3v.cpp:31)
             I.save_image_png(os.path.join(args.frames_dir,
-                                          f"frame_{fi:05d}.png"), rgb2)
+                                          f"frame_{fi:05d}.png"),
+                             np.asarray(rgb2).reshape(h, w, 3))
+
+        StreamExecutor(load, device, write).run(inputs, start=start)
     LC.t3v_old_finalize_header(out, len(inputs))
     LC.t3vi_write(out + ".t3vi", offsets)
 
