@@ -102,7 +102,7 @@ def main():
     # over the FLATTENED (frames x superframes) axis -- wire words stay in
     # VMEM (no ~2x170 MB HBM pass per frame) and the lax.map step count
     # halves (see pipeline.roundtrip_stream_fn).
-    if os.environ.get("T3_BENCH_STRUCT", "maps") == "flat":
+    if os.environ.get("T3_BENCH_STRUCT", "flat") == "flat":
         # per-superframe checksum fold: decoded planes never reach HBM
         # (the maps path reduces inside its frame body the same way)
         rt = pipeline.roundtrip_stream_fn(
@@ -127,7 +127,7 @@ def main():
     assert bool(ok_all)
     dt = float("inf")
     with tracing.device_trace(os.environ.get("T3_TRACE_DIR")):
-        if os.environ.get("T3_BENCH_ASYNC"):
+        if os.environ.get("T3_BENCH_ASYNC", "1") not in ("", "0"):
             # pipelined streaming: launch every timed batch back-to-back
             # (jax dispatch is async), sync once at the end -- the ~25 ms
             # tunnel RPC of call i+1 overlaps the device compute of call
