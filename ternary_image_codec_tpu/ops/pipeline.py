@@ -784,7 +784,21 @@ def _encode_fn(layout: EncodeLayout, wire: str = "words",
     """Jitted single-superframe encode.  wire="words": (n, 9) -> (total, 9)
     (the public contract); wire="planes": -> (9, total) with no final
     transpose (the streaming hot path).  raw_wire="planes": input is
-    (9, n) RAW planes (see _encode_parts)."""
+    (9, n) RAW planes (see _encode_parts).
+
+    Eligible configs (no beacon, not P5, residue-class k-groups) take the
+    blocked-grid v3 path (ops/pipeline_v3.py) -- bit-exact, structurally
+    free of the v2 chain's relayout copies; T3_PIPE_V3=0 forces v2."""
+    if os.environ.get("T3_PIPE_V3", "1") == "1":
+        from . import pipeline_v3
+        if pipeline_v3.encode_supported(layout):
+            fn3 = pipeline_v3.encode_fn_v3(layout, raw_wire)
+
+            def fnv(raw_words):
+                out = fn3(raw_words)
+                return out if wire == "planes" else out.T
+
+            return jax.jit(fnv)
     to_cols, rs_stage, build_words, fmt = _encode_parts(layout, raw_wire)
 
     def fn(raw_words):
@@ -1027,6 +1041,18 @@ def _decode_body_fn(layout: DecodeLayout, rs_mode: str = "paged",
     if (_is_p5(layout.hdr.profile, layout.hdr.tile)
             and os.environ.get("T3_P5_IMPL", "pm") == "cm"):
         return _decode_body_fn_cm(layout, rs_mode, wire)
+    if os.environ.get("T3_PIPE_V3", "1") == "1":
+        from . import pipeline_v3
+        if pipeline_v3.decode_supported(layout, rs_mode):
+            fn3 = pipeline_v3.check_decode_fn_v3(layout, rs_mode)
+
+            def fnv(body):
+                if wire == "planes":
+                    return fn3(body)
+                out_T, ok = fn3(body.T)
+                return out_T.T, ok
+
+            return jax.jit(fnv)
     return _decode_body_fn_pm2(layout, rs_mode, wire)
 
 

@@ -1,0 +1,344 @@
+"""Blocked-grid profile pipeline ("v3"): zero full-size relayouts.
+
+Device-trace ground truth on the round-2 fused roundtrip (docs/PERF.md)
+showed ~38% of device time in XLA-inserted relayout copies at the fusion
+boundaries of the v2 pipeline: the dot702 output swap, the (27, H) grid
+materializations, the per-k-group extraction reshapes, and the decode
+assembly transposes.  v3 removes them structurally: every stage contracts
+DIRECTLY from the previous stage's natural dot output via dot_general
+dimension numbers, with composite host-built constants.
+
+The enabling identity: 13 RS blocks of k data symbols occupy exactly
+k/2 26-column blocks of the data grid (13*k == 26*(k/2), k even for all
+profiles k in {18, 20, 22, 24}).  With M = ceil(nblk/13) "macroblocks"
+per band, every tensor keeps the static blocked shape
+
+    (3 u, gv v, [3 digit,] M, 13 block, {k data | r parity | 26 codeword})
+
+where band b = 3u + v and the UEP k-groups are residue classes v mod 3
+(_residue_groups: uniform UEP and uep_luma_priority both qualify).  The
+band axis (u, v) rides dot_general batch dims (constants are tiled), so
+outputs land in wire order with no permutation.
+
+Encode (old/include/ternary_image_codec_v6_min.hpp:1043-1169 semantics,
+bit-exact vs the v2 pipeline -- tests/test_pipeline_v3.py):
+
+  words --digits--> (27, nw) --dot702_dm--> Y (27, 26, nblk7)
+    per k-group:  data  = Y . D_k   (period-(13k) permutation dot)
+                  parity= Y . P_k   (D_k composed with the RS generator)
+                  scramble-add (blocked period-6 constants) + 3^d pack
+                  concat data|parity on the codeword axis
+    concat v-groups -> (3, 3, M, 13, 26) == wire body (9, H) by reshape.
+
+Decode (check/none modes; repair modes keep the v2 paged machinery):
+
+  wire (9, H) --divmod+descramble--> dig (3, 3, 3, M, 13, 26)
+    syndromes: ONE r=8 lifted contraction for all bands (+ per-v row mask)
+    data:      dig . E_k  (D_k transposed, c<k selection folded in)
+    assembly:  the dmaj-permuted _unpack702_bw contraction -> (9, n_out).
+
+Eligibility: no beacon, not P5, residue-class k-groups (checked by
+encode_supported/decode_supported); everything else falls back to v2.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import NUM_BANDS
+from . import rs, scramble
+from .gf27 import fmod3
+
+
+def _groups(geom, uep):
+    """Residue-class k-groups [(k, lo, hi)] or None (not v3-eligible)."""
+    from . import pipeline as pl
+    by_k = {}
+    for b in range(NUM_BANDS):
+        if geom.blocks[b]:
+            by_k.setdefault(geom.ks[b], []).append(b)
+    return pl._residue_groups(by_k, geom.blocks)
+
+
+def _eligible(profile, tile, beacon, geom) -> bool:
+    from . import pipeline as pl
+    if beacon.enabled or pl._is_p5(profile, tile):
+        return False
+    if geom.H == 0 or geom.H % rs.N:
+        return False
+    if any(geom.usable[b] != geom.H for b in range(NUM_BANDS)):
+        return False
+    return _groups(geom, None) is not None
+
+
+# ---------------------------------------------------------------------------
+# host-built composite constants
+# ---------------------------------------------------------------------------
+
+
+@functools.cache
+def _data_const(k: int):
+    """D_k[(26 i, Lk J), (13 j, k c)] = 1 iff j*k + c == 26*J + i.
+
+    Maps the data grid's 26-blocked columns (grid col p = 26*(Lk*m + J) + i)
+    to RS block coordinates (block 13*m + j, coeff c) within one macroblock
+    m -- the whole 26-trits/word stream to codeword-data relayout
+    (old/include/ternary_image_codec_v6_min.hpp:1051-1082 + the k-chunking
+    at :1101-1115) as one permutation contraction."""
+    Lk = k // 2
+    D = np.zeros((26, Lk, 13, k), dtype=np.int8)
+    for j in range(13):
+        for c in range(k):
+            J, i = divmod(j * k + c, 26)
+            D[i, J, j, c] = 1
+    return D
+
+
+@functools.cache
+def _parity_const(k: int):
+    """P_k[(3 d_in, 26 i, Lk J), (3 d_out, 13 j, r c')] -- D_k composed with
+    the GF(3)-lifted RS(26,k) parity generator (rows k..25 of G)."""
+    r = rs.N - k
+    Lk = k // 2
+    G2 = rs._matrices_pm(k)["G2"]                       # (78, 3, k)
+    Gp = np.asarray(G2).reshape(3, rs.N, 3, k)[:, k:]   # (3 d_out, r, 3, k)
+    P = np.zeros((3, 26, Lk, 3, 13, r), dtype=np.int8)
+    for j in range(13):
+        for c in range(k):
+            J, i = divmod(j * k + c, 26)
+            # parity of block j draws on data coeff c of the same block
+            P[:, i, J, :, j, :] += Gp[:, :, :, c].transpose(2, 0, 1)
+    return P % 3
+
+
+@functools.cache
+def _extract_const(k: int):
+    """E_k[(13 j, 26 c), (Lk J, 26 i)] = 1 iff c < k and j*k + c == 26*J + i
+    (decode-side D_k transpose with the systematic c<k selection folded in,
+    so the codeword axis never needs a sliced copy)."""
+    Lk = k // 2
+    E = np.zeros((13, 26, Lk, 26), dtype=np.int8)
+    for j in range(13):
+        for c in range(k):
+            J, i = divmod(j * k + c, 26)
+            E[j, c, J, i] = 1
+    return E
+
+
+def _np_pat(seed) -> np.ndarray:
+    """Scrambler period-6 offset pattern (cell t uses pat[t % 6])."""
+    return scramble.np_offsets(6, seed.a, seed.b, seed.s0)
+
+
+def _off_data(seed, k: int, lo: int, hi: int) -> np.ndarray:
+    """Blocked scramble offsets for the data cells of a v-group:
+    (3 u, gv, 3 d, 1, 1, k); cell (h, band b) is scrambled cell 9h + b,
+    offset index (9h + b) % 6 = (3*(h&1) + b) % 6 and h = 26*n + c keeps
+    h&1 == c&1 -- the offsets depend only on (band, c parity)."""
+    pat = _np_pat(seed)
+    gv = hi - lo
+    off = np.zeros((3, gv, 3, 1, 1, k), dtype=np.float32)
+    for u in range(3):
+        for vv in range(gv):
+            b = 3 * u + lo + vv
+            for c in range(k):
+                off[u, vv, :, 0, 0, c] = pat[(b + 3 * (c & 1)) % 6]
+    return off
+
+
+def _off_parity(seed, k: int, lo: int, hi: int) -> np.ndarray:
+    """(3 u, gv, 1, 3 d', 1, r) offsets for parity cells (c = k + c')."""
+    pat = _np_pat(seed)
+    r = rs.N - k
+    gv = hi - lo
+    off = np.zeros((3, gv, 1, 3, 1, r), dtype=np.float32)
+    for u in range(3):
+        for vv in range(gv):
+            b = 3 * u + lo + vv
+            for cc in range(r):
+                off[u, vv, 0, :, 0, cc] = pat[(b + 3 * ((k + cc) & 1)) % 6]
+    return off
+
+
+def _tile_batch(C: np.ndarray, gv: int) -> np.ndarray:
+    """Tile a constant over the (3 u, gv v) dot_general batch dims."""
+    return np.ascontiguousarray(
+        np.broadcast_to(C, (3, gv) + C.shape)).astype(np.int8)
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+
+def encode_supported(layout) -> bool:
+    cfg = layout.cfg
+    return _eligible(cfg.profile, cfg.tile, cfg.beacon, layout.geom)
+
+
+@functools.cache
+def encode_fn_v3(layout, raw_wire: str = "words"):
+    """Jitted (n, 9) RAW words [raw_wire="planes": (9, n)] -> wire planes
+    (9, total_words) int8, bit-exact vs the v2 encoder."""
+    from . import pipeline as pl
+    cfg, geom = layout.cfg, layout.geom
+    groups = _groups(geom, cfg.uep)
+    nblk = geom.blocks[0]
+    M = -(-nblk // 13)
+    NB = 13 * M
+    H = geom.H
+    n_words = layout.n_raw_words
+    # 27-word blocks feeding dot702_dm; enough for the input AND the widest
+    # group's Lk*M 26-column blocks
+    nblk7 = max(-(-n_words // 27), max((k // 2) * M for k, _l, _h in groups))
+    P702 = pl._pack702_dm()
+    hdrT = np.asarray(layout.header_words.T, dtype=np.int8)
+
+    consts = []
+    for k, lo, hi in groups:
+        gv = hi - lo
+        consts.append((
+            k, lo, hi,
+            jnp.asarray(_tile_batch(_data_const(k), gv)),
+            jnp.asarray(_tile_batch(_parity_const(k), gv)),
+            jnp.asarray(_off_data(cfg.seed, k, lo, hi)),
+            jnp.asarray(_off_parity(cfg.seed, k, lo, hi)),
+        ))
+
+    def fn(raw_words):
+        # D-major digit planes (27, n) [row 9d + b_w]: three elementwise
+        # planes CONCAT along the leading axis -- no minor-dim stack
+        # (_pack702_dm's row convention; see _encode_parts_pm._digits_dm)
+        s = (raw_words if raw_wire == "planes" else raw_words.T) \
+            .astype(jnp.float32)                           # (9, n)
+        q1 = jnp.floor(s * (1.0 / 3.0))
+        q2 = jnp.floor(s * (1.0 / 9.0))
+        pl_dig = jnp.concatenate(
+            [s - 3.0 * q1, q1 - 3.0 * q2,
+             q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0))],
+            axis=0).astype(jnp.int8)                       # (27, n)
+        pl_dig = jnp.pad(pl_dig, ((0, 0), (0, nblk7 * 27 - pl_dig.shape[1])))
+        X3 = pl_dig.reshape(27, nblk7, 27)
+        Y = lax.dot_general(jnp.asarray(P702, dtype=jnp.int8), X3,
+                            (((1, 2), (0, 2)), ((), ())),
+                            preferred_element_type=jnp.int32)  # (702, nblk7)
+        Y = Y.astype(jnp.int8).reshape(3, 3, 3, 26, nblk7)   # (u, v, d, i, n7)
+        parts = []
+        for k, lo, hi, Dk, Pk, offD, offP in consts:
+            Lk = k // 2
+            Bk = Lk * M
+            Yg = Y[:, lo:hi]
+            Yg = (jnp.pad(Yg, ((0, 0),) * 4 + ((0, Bk - nblk7),))
+                  if Bk > nblk7 else Yg[..., :Bk])
+            Yg = Yg.reshape(3, hi - lo, 3, 26, M, Lk)
+            # data: (3u, gv, 3d, M, 13, k)
+            data = lax.dot_general(Yg, Dk,
+                                   (((3, 5), (2, 3)), ((0, 1), (0, 1))),
+                                   preferred_element_type=jnp.int32)
+            sd = fmod3(data.astype(jnp.float32) + offD)
+            wd = (sd[:, :, 0] + 3.0 * sd[:, :, 1] + 9.0 * sd[:, :, 2]) \
+                .astype(jnp.int8)                          # (3, gv, M, 13, k)
+            # parity: (3u, gv, M, 3d', 13, r)
+            par = lax.dot_general(Yg, Pk,
+                                  (((2, 3, 5), (2, 3, 4)), ((0, 1), (0, 1))),
+                                  preferred_element_type=jnp.int32)
+            sp = fmod3(par.astype(jnp.float32) + offP)
+            wp = (sp[:, :, :, 0] + 3.0 * sp[:, :, :, 1]
+                  + 9.0 * sp[:, :, :, 2]).astype(jnp.int8)  # (3, gv, M, 13, r)
+            parts.append(jnp.concatenate([wd, wp], axis=-1))
+        body = jnp.concatenate(parts, axis=1)              # (3, 3, M, 13, 26)
+        bodyT = body.reshape(NUM_BANDS, NB * 26)[:, :H]
+        return jnp.concatenate([jnp.asarray(hdrT), bodyT], axis=1)
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# decode (check / none)
+# ---------------------------------------------------------------------------
+
+
+def decode_supported(layout, rs_mode: str) -> bool:
+    hdr = layout.hdr
+    return (rs_mode in ("check", "none")
+            and _eligible(hdr.profile, hdr.tile, hdr.beacon, layout.geom))
+
+
+@functools.cache
+def check_decode_fn_v3(layout, rs_mode: str = "check"):
+    """Wire-planes body (9, H) -> (out planes (9, n_out), ok scalar),
+    matching _decode_body_fn(wire="planes") bit-exactly for clean AND
+    corrupted streams (ok semantics: every block's syndromes are zero)."""
+    from . import pipeline as pl
+    hdr, geom = layout.hdr, layout.geom
+    groups = _groups(geom, hdr.uep)
+    nblk = geom.blocks[0]
+    M = -(-nblk // 13)
+    NB = 13 * M
+    H = geom.H
+    max_d = max(geom.blocks[b] * geom.ks[b] for b in range(NUM_BANDS))
+    MB = -(-max_d // 26)
+    n_out = layout.n_out_words
+
+    pat = np.asarray(_np_pat(hdr.seed), dtype=np.float32)
+    b9 = np.arange(NUM_BANDS)
+    off_even = jnp.asarray(pat[b9 % 6])
+    off_odd = jnp.asarray(pat[(3 + b9) % 6])
+    S8 = jnp.asarray(rs._matrices_pm(18)["S2"], dtype=jnp.int8)  # (24, 3, 26)
+    # per-v syndrome row mask: band 3u+v checks its group's r = 26-k rows
+    rmask = np.zeros((3, 8, 1, 3, 1, 1), dtype=bool)
+    for k, lo, hi in groups:
+        rmask[:, :rs.N - k, :, lo:hi] = True
+    rmask = jnp.asarray(rmask)
+    C_bw = np.asarray(pl._unpack702_bw())
+    i27 = np.arange(27)
+    C_dm = jnp.asarray(C_bw[3 * (i27 % NUM_BANDS) + i27 // NUM_BANDS])
+    extract = [(k, lo, hi, jnp.asarray(_extract_const(k)))
+               for k, lo, hi in groups]
+
+    def fn(body_T):                                        # (9, H)
+        h_even = (jnp.arange(H, dtype=jnp.int32) & 1) == 0
+        off = jnp.where(h_even[None, :], off_even[:, None], off_odd[:, None])
+        wT = body_T.astype(jnp.float32)
+        q1 = jnp.floor(wT * (1.0 / 3.0))
+        q2 = jnp.floor(wT * (1.0 / 9.0))
+        planes = (wT - 3.0 * q1, q1 - 3.0 * q2,
+                  q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0)))
+        dig = jnp.stack(
+            [fmod3(p - off + 3.0).astype(jnp.int8) for p in planes],
+            axis=0)                                        # (3, 9, H)
+        dig = jnp.pad(dig, ((0, 0), (0, 0), (0, NB * 26 - H))) \
+            .reshape(3, 3, 3, M, 13, 26)                   # (d, u, v, M, j, c)
+        if rs_mode == "none":
+            ok = jnp.asarray(True)
+        else:
+            S = lax.dot_general(S8, dig, (((1, 2), (0, 5)), ((), ())),
+                                preferred_element_type=jnp.int32)
+            S = fmod3(S.astype(jnp.float32)) \
+                .reshape(3, 8, 3, 3, M, 13)                # (d', r8, u, v, ...)
+            ok = ~jnp.any((S != 0.0) & rmask)
+        outs = []
+        for k, lo, hi, Ek in extract:
+            Lk = k // 2
+            dg = dig[:, :, lo:hi]                          # (3, 3, gv, M, 13, 26)
+            pg = lax.dot_general(dg, Ek, (((4, 5), (0, 1)), ((), ())),
+                                 preferred_element_type=jnp.int32) \
+                .astype(jnp.int8)                          # (3, 3, gv, M, Lk, 26)
+            pf = pg.reshape(3, 3, hi - lo, M * Lk * 26)
+            pf = (pf[..., :MB * 26] if pf.shape[-1] >= MB * 26
+                  else jnp.pad(pf, ((0, 0),) * 3 + ((0, MB * 26 - pf.shape[-1]),)))
+            outs.append(pf)
+        M27d = jnp.concatenate(outs, axis=2) \
+            .reshape(27, MB, 26)                           # rows 9d + b
+        wout = lax.dot_general(C_dm, M27d, (((0, 1), (0, 2)), ((), ())),
+                               preferred_element_type=jnp.int32) \
+            .astype(jnp.int8)                              # (243, MB)
+        out_T = wout.reshape(NUM_BANDS, 27, MB).transpose(0, 2, 1) \
+            .reshape(NUM_BANDS, MB * 27)[:, :n_out]
+        return out_T, ok
+
+    return fn

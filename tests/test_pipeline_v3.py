@@ -1,0 +1,115 @@
+"""Blocked-grid v3 pipeline: bit-exactness vs the v2 reference path.
+
+v3 (ops/pipeline_v3.py) is a pure performance restructure -- every output
+byte must match v2 exactly, including the per-superframe ok semantics on
+corrupted streams.  These tests force each implementation via T3_PIPE_V3
+and diff them directly (the golden-file suites already pin v2 to the C++
+reference wire format)."""
+import os
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from ternary_image_codec_tpu.config import (EncoderConfig, ProfileID,
+                                            SparseBeaconCfg, ScramblerSeed,
+                                            SuperframeHeader, Tile2D,
+                                            uep_luma_priority, uep_uniform)
+from ternary_image_codec_tpu.ops import pipeline, pipeline_v3
+
+
+def _raw(n, seed=0):
+    r = np.random.default_rng(seed)
+    t = r.integers(0, 3, size=(n, 27)).astype(np.int8)
+    t[:, 26] = 0
+    return (t.reshape(n, 9, 3) * np.array([1, 3, 9])).sum(-1).astype(np.int8)
+
+
+CFGS = [
+    EncoderConfig(profile=ProfileID.P2_RS26_22, uep=uep_luma_priority(),
+                  superframe_words=512),
+    EncoderConfig(profile=ProfileID.P2_RS26_22, uep=uep_uniform(1),
+                  superframe_words=512),
+    EncoderConfig(profile=ProfileID.P1_RS26_24, uep=uep_uniform(0),
+                  superframe_words=300,
+                  seed=ScramblerSeed(2, 1, 0)),
+    EncoderConfig(profile=ProfileID.P3_RS26_20, uep=uep_uniform(2),
+                  superframe_words=512, seed=ScramblerSeed(0, 2, 1)),
+]
+
+
+def _enc_both(cfg, raw):
+    layout = pipeline.build_encode_layout(cfg, int(raw.shape[0]))
+    assert pipeline_v3.encode_supported(layout)
+    pipeline._encode_fn.cache_clear()
+    os.environ["T3_PIPE_V3"] = "0"
+    try:
+        w2 = np.asarray(pipeline._encode_fn(layout, wire="planes")(raw))
+    finally:
+        os.environ["T3_PIPE_V3"] = "1"
+        pipeline._encode_fn.cache_clear()
+    w3 = np.asarray(pipeline._encode_fn(layout, wire="planes")(raw))
+    return layout, w2, w3
+
+
+@pytest.mark.parametrize("ci", range(len(CFGS)))
+def test_encode_v3_bit_exact(ci):
+    cfg = CFGS[ci]
+    for n in (cfg.superframe_words, 101, 26):
+        raw = _raw(n, seed=n + ci)
+        _layout, w2, w3 = _enc_both(cfg, jnp.asarray(raw))
+        assert np.array_equal(w2, w3), (cfg, n)
+
+
+@pytest.mark.parametrize("ci", range(len(CFGS)))
+@pytest.mark.parametrize("rs_mode", ["check", "none"])
+def test_decode_v3_bit_exact(ci, rs_mode):
+    cfg = CFGS[ci]
+    raw = _raw(cfg.superframe_words, seed=7 * ci)
+    layout, w2, w3 = _enc_both(cfg, jnp.asarray(raw))
+    assert np.array_equal(w2, w3)
+    hdr = SuperframeHeader(profile=cfg.profile, uep=cfg.uep, tile=cfg.tile,
+                           seed=cfg.seed, beacon=cfg.beacon,
+                           subword=cfg.subword, centered=cfg.centered,
+                           coset=cfg.coset)
+    dlay = pipeline.build_decode_layout(
+        hdr, layout.total_words - pipeline.HEADER_WORDS)
+    assert pipeline_v3.decode_supported(dlay, rs_mode)
+    body = jnp.asarray(w3[:, pipeline.HEADER_WORDS:])
+    # corrupt a few cells in one variant to exercise the ok semantics
+    bad = body.at[4, 100].set((body[4, 100] + 1) % 27)
+    for inp, want_clean in ((body, True), (bad, rs_mode == "none")):
+        pipeline._decode_body_fn.cache_clear()
+        os.environ["T3_PIPE_V3"] = "0"
+        try:
+            o2, k2 = pipeline._decode_body_fn(dlay, rs_mode,
+                                              wire="planes")(inp)
+            o2, k2 = np.asarray(o2), bool(k2)
+        finally:
+            os.environ["T3_PIPE_V3"] = "1"
+            pipeline._decode_body_fn.cache_clear()
+        o3, k3 = pipeline._decode_body_fn(dlay, rs_mode, wire="planes")(inp)
+        assert np.array_equal(o2, np.asarray(o3))
+        assert k2 == bool(k3) == want_clean
+        if want_clean and rs_mode == "check":
+            got = np.asarray(o3).T[:raw.shape[0]]
+            assert np.array_equal(got, raw)
+
+
+def test_v3_ineligible_configs_fall_back():
+    beacon = EncoderConfig(profile=ProfileID.P2_RS26_22,
+                           beacon=SparseBeaconCfg(words_period=7,
+                                                  band_slot=2, enabled=True),
+                           superframe_words=256)
+    lay = pipeline.build_encode_layout(beacon, 256)
+    assert not pipeline_v3.encode_supported(lay)
+    p5 = EncoderConfig(profile=ProfileID.P5_RS26_22_2D, tile=Tile2D(8, 8),
+                       superframe_words=256)
+    lay5 = pipeline.build_encode_layout(p5, 256)
+    assert not pipeline_v3.encode_supported(lay5)
+    # roundtrip still works through the public API for both
+    for cfg in (beacon, p5):
+        raw = _raw(200, seed=3)
+        w = pipeline.encode_profile_from_raw(jnp.asarray(raw), cfg)
+        out, _hdr, ok = pipeline.decode_profile_to_raw(w)
+        assert ok and np.array_equal(np.asarray(out)[:200], raw)
