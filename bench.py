@@ -92,9 +92,18 @@ def main():
     # 16 frames per dispatch: the ~25 ms tunnel floor amortizes to ~1.6 ms
     # per frame (measured +0.6-0.9 fps over 8 in two independent series)
     iters = int(os.environ.get("T3_BENCH_ITERS", "16"))
-    batches = [jnp.asarray(np.stack(
-        [(chunks_np + iters * bi + i) % 27 for i in range(1, iters + 1)]))
-        for bi in range(3)]
+    flat_struct = os.environ.get("T3_BENCH_STRUCT", "flat") == "flat"
+
+    def _stage(bi):
+        b = np.stack([(chunks_np + iters * bi + i)
+                      for i in range(1, iters + 1)]) % 27
+        # flat structure consumes the flattened (frames x superframes) axis;
+        # staging it pre-flattened avoids a whole-input relayout copy on
+        # device (v3 trace: reshape.35, ~0.9 ms/frame)
+        return jnp.asarray(b.reshape((-1,) + b.shape[2:]) if flat_struct
+                           else b)
+
+    batches = [_stage(bi) for bi in range(3)]
     for b in batches:
         b.block_until_ready()
 
@@ -102,7 +111,7 @@ def main():
     # over the FLATTENED (frames x superframes) axis -- wire words stay in
     # VMEM (no ~2x170 MB HBM pass per frame) and the lax.map step count
     # halves (see pipeline.roundtrip_stream_fn).
-    if os.environ.get("T3_BENCH_STRUCT", "flat") == "flat":
+    if flat_struct:
         # per-superframe checksum fold: decoded planes never reach HBM
         # (the maps path reduces inside its frame body the same way)
         rt = pipeline.roundtrip_stream_fn(
@@ -110,8 +119,8 @@ def main():
             fold=lambda o: jnp.sum(o.astype(jnp.int32)))
 
         @jax.jit
-        def step_frames(cs):
-            chks, ok = rt(cs.reshape((-1,) + cs.shape[2:]))
+        def step_frames(cs):    # pre-flattened (frames*superframes, ...)
+            chks, ok = rt(cs)
             return jnp.all(ok), jnp.sum(chks)
     else:
         @jax.jit

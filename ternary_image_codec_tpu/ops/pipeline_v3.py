@@ -212,16 +212,19 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
     def fn(raw_words):
         # D-major digit planes (27, n) [row 9d + b_w]: three elementwise
         # planes CONCAT along the leading axis -- no minor-dim stack
-        # (_pack702_dm's row convention; see _encode_parts_pm._digits_dm)
-        s = (raw_words if raw_wire == "planes" else raw_words.T) \
-            .astype(jnp.float32)                           # (9, n)
+        # (_pack702_dm's row convention; see _encode_parts_pm._digits_dm).
+        # Pad the 9-row WORD planes before digit extraction: a post-digits
+        # pad costs a full extra (27, n) HBM pass (v3 trace: pad.94 was as
+        # expensive as the dot702 contraction itself).
+        w9 = raw_words if raw_wire == "planes" else raw_words.T   # (9, n)
+        w9 = jnp.pad(w9, ((0, 0), (0, nblk7 * 27 - w9.shape[1])))
+        s = w9.astype(jnp.float32)
         q1 = jnp.floor(s * (1.0 / 3.0))
         q2 = jnp.floor(s * (1.0 / 9.0))
         pl_dig = jnp.concatenate(
             [s - 3.0 * q1, q1 - 3.0 * q2,
              q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0))],
-            axis=0).astype(jnp.int8)                       # (27, n)
-        pl_dig = jnp.pad(pl_dig, ((0, 0), (0, nblk7 * 27 - pl_dig.shape[1])))
+            axis=0).astype(jnp.int8)                       # (27, 27*nblk7)
         X3 = pl_dig.reshape(27, nblk7, 27)
         Y = lax.dot_general(jnp.asarray(P702, dtype=jnp.int8), X3,
                             (((1, 2), (0, 2)), ((), ())),
@@ -239,16 +242,16 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
             data = lax.dot_general(Yg, Dk,
                                    (((3, 5), (2, 3)), ((0, 1), (0, 1))),
                                    preferred_element_type=jnp.int32)
-            sd = fmod3(data.astype(jnp.float32) + offD)
-            wd = (sd[:, :, 0] + 3.0 * sd[:, :, 1] + 9.0 * sd[:, :, 2]) \
-                .astype(jnp.int8)                          # (3, gv, M, 13, k)
+            # int8 before the 3-slice pack: the sliced intermediate
+            # materializes, and f32 would be a 4x HBM tensor
+            sd = fmod3(data.astype(jnp.float32) + offD).astype(jnp.int8)
+            wd = sd[:, :, 0] + 3 * sd[:, :, 1] + 9 * sd[:, :, 2]
             # parity: (3u, gv, M, 3d', 13, r)
             par = lax.dot_general(Yg, Pk,
                                   (((2, 3, 5), (2, 3, 4)), ((0, 1), (0, 1))),
                                   preferred_element_type=jnp.int32)
-            sp = fmod3(par.astype(jnp.float32) + offP)
-            wp = (sp[:, :, :, 0] + 3.0 * sp[:, :, :, 1]
-                  + 9.0 * sp[:, :, :, 2]).astype(jnp.int8)  # (3, gv, M, 13, r)
+            sp = fmod3(par.astype(jnp.float32) + offP).astype(jnp.int8)
+            wp = sp[:, :, :, 0] + 3 * sp[:, :, :, 1] + 9 * sp[:, :, :, 2]
             parts.append(jnp.concatenate([wd, wp], axis=-1))
         body = jnp.concatenate(parts, axis=1)              # (3, 3, M, 13, 26)
         bodyT = body.reshape(NUM_BANDS, NB * 26)[:, :H]
@@ -301,18 +304,21 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
                for k, lo, hi in groups]
 
     def fn(body_T):                                        # (9, H)
-        h_even = (jnp.arange(H, dtype=jnp.int32) & 1) == 0
-        off = jnp.where(h_even[None, :], off_even[:, None], off_odd[:, None])
-        wT = body_T.astype(jnp.float32)
+        # pad the 9-row wire BEFORE divmod/descramble (1/3 the bytes of
+        # padding the 27-row digit stack); offsets are zero past H so the
+        # padded cells descramble to zero = valid codewords
+        h_even = (jnp.arange(NB * 26, dtype=jnp.int32) & 1) == 0
+        in_h = jnp.arange(NB * 26, dtype=jnp.int32) < H
+        off = jnp.where(h_even[None, :], off_even[:, None],
+                        off_odd[:, None]) * in_h[None, :].astype(jnp.float32)
+        wT = jnp.pad(body_T, ((0, 0), (0, NB * 26 - H))).astype(jnp.float32)
         q1 = jnp.floor(wT * (1.0 / 3.0))
         q2 = jnp.floor(wT * (1.0 / 9.0))
         planes = (wT - 3.0 * q1, q1 - 3.0 * q2,
                   q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0)))
         dig = jnp.stack(
             [fmod3(p - off + 3.0).astype(jnp.int8) for p in planes],
-            axis=0)                                        # (3, 9, H)
-        dig = jnp.pad(dig, ((0, 0), (0, 0), (0, NB * 26 - H))) \
-            .reshape(3, 3, 3, M, 13, 26)                   # (d, u, v, M, j, c)
+            axis=0).reshape(3, 3, 3, M, 13, 26)            # (d, u, v, M, j, c)
         if rs_mode == "none":
             ok = jnp.asarray(True)
         else:
