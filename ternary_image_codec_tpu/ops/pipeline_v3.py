@@ -43,6 +43,7 @@ encode_supported/decode_supported); everything else falls back to v2.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -197,6 +198,7 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
     nblk7 = max(-(-n_words // 27), max((k // 2) * M for k, _l, _h in groups))
     P702 = pl._pack702_dm()
     hdrT = np.asarray(layout.header_words.T, dtype=np.int8)
+    yord = os.environ.get("T3_V3_YORD", "blocks")
 
     consts = []
     for k, lo, hi in groups:
@@ -226,11 +228,45 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
              q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0))],
             axis=0).astype(jnp.int8)                       # (27, 27*nblk7)
         X3 = pl_dig.reshape(27, nblk7, 27)
+        parts = []
+        if yord == "blocks":
+            # block-major grid: Y (n7, 702) keeps the dot702 output in the
+            # layout the group contractions consume -- the v3 trace showed
+            # XLA inserting a (702, n7)->(n7, 702) relayout copy (copy.95,
+            # ~44 ms / 32 frames) plus a per-group Yg copy (copy.96) when
+            # the 702 axis leads
+            Y = lax.dot_general(X3, jnp.asarray(P702, dtype=jnp.int8),
+                                (((0, 2), (1, 2)), ((), ())),
+                                preferred_element_type=jnp.int32)
+            Y = Y.astype(jnp.int8).reshape(nblk7, 3, 3, 3, 26)
+            for k, lo, hi, Dk, Pk, offD, offP in consts:
+                Lk = k // 2
+                Bk = Lk * M
+                Yg = Y[:, :, lo:hi]                    # (n7, 3, gv, 3, 26)
+                Yg = (jnp.pad(Yg, ((0, Bk - nblk7),) + ((0, 0),) * 4)
+                      if Bk > nblk7 else Yg[:Bk])
+                Yg = Yg.reshape(M, Lk, 3, hi - lo, 3, 26)
+                # data: (3u, gv, M, 3d, 13, k)
+                data = lax.dot_general(Yg, Dk,
+                                       (((5, 1), (2, 3)), ((2, 3), (0, 1))),
+                                       preferred_element_type=jnp.int32)
+                sd = fmod3(data.astype(jnp.float32)
+                           + offD.swapaxes(2, 3)).astype(jnp.int8)
+                wd = sd[:, :, :, 0] + 3 * sd[:, :, :, 1] + 9 * sd[:, :, :, 2]
+                # parity: (3u, gv, M, 3d', 13, r)
+                par = lax.dot_general(Yg, Pk,
+                                      (((1, 4, 5), (4, 2, 3)), ((2, 3), (0, 1))),
+                                      preferred_element_type=jnp.int32)
+                sp = fmod3(par.astype(jnp.float32) + offP).astype(jnp.int8)
+                wp = sp[:, :, :, 0] + 3 * sp[:, :, :, 1] + 9 * sp[:, :, :, 2]
+                parts.append(jnp.concatenate([wd, wp], axis=-1))
+            body = jnp.concatenate(parts, axis=1)
+            bodyT = body.reshape(NUM_BANDS, NB * 26)[:, :H]
+            return jnp.concatenate([jnp.asarray(hdrT), bodyT], axis=1)
         Y = lax.dot_general(jnp.asarray(P702, dtype=jnp.int8), X3,
                             (((1, 2), (0, 2)), ((), ())),
                             preferred_element_type=jnp.int32)  # (702, nblk7)
         Y = Y.astype(jnp.int8).reshape(3, 3, 3, 26, nblk7)   # (u, v, d, i, n7)
-        parts = []
         for k, lo, hi, Dk, Pk, offD, offP in consts:
             Lk = k // 2
             Bk = Lk * M
@@ -299,9 +335,16 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
     rmask = jnp.asarray(rmask)
     C_bw = np.asarray(pl._unpack702_bw())
     i27 = np.arange(27)
-    C_dm = jnp.asarray(C_bw[3 * (i27 % NUM_BANDS) + i27 // NUM_BANDS])
+    C_dm_np = C_bw[3 * (i27 % NUM_BANDS) + i27 // NUM_BANDS]
+    C_dm = jnp.asarray(C_dm_np)
+    # blocked-assembly variant: same constant with the (d, u, v) row factors
+    # split out so the contraction consumes the group outputs directly --
+    # the flat variant's merge-to-8710/ re-split-to-(MB, 26) reshapes
+    # materialized (~57 ms / 32 frames in the v3 trace)
+    C_dm5 = jnp.asarray(C_dm_np.reshape(3, 3, 3, *C_dm_np.shape[1:]))
     extract = [(k, lo, hi, jnp.asarray(_extract_const(k)))
                for k, lo, hi in groups]
+    asm = os.environ.get("T3_V3_ASM", "blk")
 
     def fn(body_T):                                        # (9, H)
         # pad the 9-row wire BEFORE divmod/descramble (1/3 the bytes of
@@ -334,15 +377,31 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
             pg = lax.dot_general(dg, Ek, (((4, 5), (0, 1)), ((), ())),
                                  preferred_element_type=jnp.int32) \
                 .astype(jnp.int8)                          # (3, 3, gv, M, Lk, 26)
-            pf = pg.reshape(3, 3, hi - lo, M * Lk * 26)
-            pf = (pf[..., :MB * 26] if pf.shape[-1] >= MB * 26
-                  else jnp.pad(pf, ((0, 0),) * 3 + ((0, MB * 26 - pf.shape[-1]),)))
+            if asm == "blk":
+                # merge only (M, Lk) -> grid block B = m*Lk + J; the 26
+                # stays a separate axis end-to-end (no flatten/re-split)
+                pf = pg.reshape(3, 3, hi - lo, M * Lk, 26)
+                pf = (pf[:, :, :, :MB] if M * Lk >= MB
+                      else jnp.pad(pf, ((0, 0),) * 3
+                                   + ((0, MB - M * Lk), (0, 0))))
+            else:
+                pf = pg.reshape(3, 3, hi - lo, M * Lk * 26)
+                pf = (pf[..., :MB * 26] if pf.shape[-1] >= MB * 26
+                      else jnp.pad(pf, ((0, 0),) * 3
+                                   + ((0, MB * 26 - pf.shape[-1]),)))
             outs.append(pf)
-        M27d = jnp.concatenate(outs, axis=2) \
-            .reshape(27, MB, 26)                           # rows 9d + b
-        wout = lax.dot_general(C_dm, M27d, (((0, 1), (0, 2)), ((), ())),
-                               preferred_element_type=jnp.int32) \
-            .astype(jnp.int8)                              # (243, MB)
+        if asm == "blk":
+            M5 = jnp.concatenate(outs, axis=2)             # (3, 3, 3, MB, 26)
+            wout = lax.dot_general(C_dm5, M5,
+                                   (((0, 1, 2, 3), (0, 1, 2, 4)), ((), ())),
+                                   preferred_element_type=jnp.int32) \
+                .astype(jnp.int8)                          # (243, MB)
+        else:
+            M27d = jnp.concatenate(outs, axis=2) \
+                .reshape(27, MB, 26)                       # rows 9d + b
+            wout = lax.dot_general(C_dm, M27d, (((0, 1), (0, 2)), ((), ())),
+                                   preferred_element_type=jnp.int32) \
+                .astype(jnp.int8)                          # (243, MB)
         out_T = wout.reshape(NUM_BANDS, 27, MB).transpose(0, 2, 1) \
             .reshape(NUM_BANDS, MB * 27)[:, :n_out]
         return out_T, ok

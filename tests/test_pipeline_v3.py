@@ -96,6 +96,43 @@ def test_decode_v3_bit_exact(ci, rs_mode):
             assert np.array_equal(got, raw)
 
 
+@pytest.mark.parametrize("yord", ["p702", "blocks"])
+@pytest.mark.parametrize("asm", ["flat", "blk"])
+def test_v3_layout_knobs_bit_exact(yord, asm):
+    """T3_V3_YORD / T3_V3_ASM pick structurally different contraction
+    orders; every combination must be bit-exact vs v2."""
+    cfg = CFGS[0]
+    raw = _raw(cfg.superframe_words, seed=11)
+    old = {k: os.environ.get(k) for k in ("T3_V3_YORD", "T3_V3_ASM")}
+    os.environ["T3_V3_YORD"] = yord
+    os.environ["T3_V3_ASM"] = asm
+    pipeline_v3.encode_fn_v3.cache_clear()
+    pipeline_v3.check_decode_fn_v3.cache_clear()
+    try:
+        layout, w2, w3 = _enc_both(cfg, jnp.asarray(raw))
+        assert np.array_equal(w2, w3)
+        hdr = SuperframeHeader(profile=cfg.profile, uep=cfg.uep,
+                               tile=cfg.tile, seed=cfg.seed,
+                               beacon=cfg.beacon, subword=cfg.subword,
+                               centered=cfg.centered, coset=cfg.coset)
+        dlay = pipeline.build_decode_layout(
+            hdr, layout.total_words - pipeline.HEADER_WORDS)
+        body = jnp.asarray(w3[:, pipeline.HEADER_WORDS:])
+        bad = body.at[2, 57].set((body[2, 57] + 1) % 27)
+        o3, k3 = pipeline_v3.check_decode_fn_v3(dlay, "check")(body)
+        assert bool(k3)
+        assert np.array_equal(np.asarray(o3).T[:raw.shape[0]], raw)
+        _ob, kb = pipeline_v3.check_decode_fn_v3(dlay, "check")(bad)
+        assert not bool(kb)
+    finally:
+        for k, v in old.items():
+            os.environ.pop(k, None) if v is None else os.environ.__setitem__(k, v)
+        pipeline_v3.encode_fn_v3.cache_clear()
+        pipeline_v3.check_decode_fn_v3.cache_clear()
+        pipeline._encode_fn.cache_clear()
+        pipeline._decode_body_fn.cache_clear()
+
+
 def test_v3_ineligible_configs_fall_back():
     beacon = EncoderConfig(profile=ProfileID.P2_RS26_22,
                            beacon=SparseBeaconCfg(words_period=7,
