@@ -227,8 +227,9 @@ def main():
 
     D = 20                                       # dirty superframes/frame
     # dirty phase holds clean+dirty word sets live -- cap its frame batch
-    # at the proven HBM envelope (iters=8 full run, docs/PERF.md)
-    d_iters = min(iters, 8)
+    # at the proven HBM envelope (iters=8 full run, docs/PERF.md);
+    # T3_BENCH_DIRTY_ITERS overrides for envelope re-probes
+    d_iters = min(iters, int(os.environ.get("T3_BENCH_DIRTY_ITERS", "8")))
     r2 = np.random.default_rng(1)
     fi = np.repeat(np.arange(d_iters), D)
     si = np.stack([r2.choice(n_sf, D, replace=False)

@@ -1622,10 +1622,21 @@ def roundtrip_stream_fn(cfg: EncoderConfig, sf_batch: int,
             x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
         return x.reshape(nb, sf_batch, *x.shape[1:])
 
+    # T3_MAP_UNROLL>1: the micro-batch loop becomes an unrolled lax.scan --
+    # fewer while-loop iterations and XLA may overlap adjacent steps' DMA
+    # with compute (chip A/B knob; lax.map == scan(unroll=1))
+    unroll = int(os.environ.get("T3_MAP_UNROLL", "1"))
+
+    def _map(f, xs):
+        if unroll > 1:
+            return lax.scan(lambda c, x: (c, f(x)), None, xs,
+                            unroll=unroll)[1]
+        return lax.map(f, xs)
+
     @jax.jit
     def roundtrip(chunks):
         n = chunks.shape[0]
-        out, ok, hdrs = lax.map(body, _rebatch(chunks))
+        out, ok, hdrs = _map(body, _rebatch(chunks))
         out = (out.reshape(-1, NUM_BANDS, dlayout.n_out_words)
                if fold is None else out.reshape((-1,) + out.shape[2:]))[:n]
         ok = ok.reshape(-1)[:n]

@@ -37,8 +37,13 @@ Decode (check/none modes; repair modes keep the v2 paged machinery):
     data:      dig . E_k  (D_k transposed, c<k selection folded in)
     assembly:  the dmaj-permuted _unpack702_bw contraction -> (9, n_out).
 
-Eligibility: no beacon, not P5, residue-class k-groups (checked by
-encode_supported/decode_supported); everything else falls back to v2.
+Eligibility: not P5, residue-class k-groups (checked by encode_supported/
+decode_supported); everything else falls back to v2.  A beacon band is
+supported: its column is computed separately (unscrambled RS digits ->
+blocked (S, p-1)->(S, p) splice -> row-space scramble) and overwrites the
+group machinery's throwaway column at assembly; non-26-multiple heights
+ride a partial trailing grid block whose cells are the zero stream tail
+(masked out of the syndrome check, like v2 never reading them).
 """
 from __future__ import annotations
 
@@ -55,25 +60,34 @@ from . import rs, scramble
 from .gf27 import fmod3
 
 
-def _groups(geom, uep):
-    """Residue-class k-groups [(k, lo, hi)] or None (not v3-eligible)."""
+def _groups(geom, uep, b0: int = -1):
+    """Residue-class k-groups [(k, lo, hi)] or None (not v3-eligible).
+
+    b0 >= 0: the beacon band -- its (smaller) block count is replaced by
+    the uniform H//26 stand-in; the group machinery computes a throwaway
+    column there and the assembly overwrites it with the real beacon
+    column (see encode_fn_v3/check_decode_fn_v3)."""
     from . import pipeline as pl
+    nblk_u = geom.H // rs.N
+    blocks = [nblk_u if b == b0 else geom.blocks[b] for b in range(NUM_BANDS)]
     by_k = {}
     for b in range(NUM_BANDS):
-        if geom.blocks[b]:
+        if blocks[b]:
             by_k.setdefault(geom.ks[b], []).append(b)
-    return pl._residue_groups(by_k, geom.blocks)
+    return pl._residue_groups(by_k, blocks)
 
 
 def _eligible(profile, tile, beacon, geom) -> bool:
     from . import pipeline as pl
-    if beacon.enabled or pl._is_p5(profile, tile):
+    if pl._is_p5(profile, tile):
         return False
-    if geom.H == 0 or geom.H % rs.N:
+    if geom.H // rs.N == 0:
         return False
-    if any(geom.usable[b] != geom.H for b in range(NUM_BANDS)):
+    b0 = beacon.band_slot if beacon.enabled else -1
+    if any(geom.usable[b] != geom.H
+           for b in range(NUM_BANDS) if b != b0):
         return False
-    return _groups(geom, None) is not None
+    return _groups(geom, None, b0) is not None
 
 
 # ---------------------------------------------------------------------------
@@ -187,18 +201,24 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
     (9, total_words) int8, bit-exact vs the v2 encoder."""
     from . import pipeline as pl
     cfg, geom = layout.cfg, layout.geom
-    groups = _groups(geom, cfg.uep)
-    nblk = geom.blocks[0]
-    M = -(-nblk // 13)
-    NB = 13 * M
+    beacon = cfg.beacon
+    b0 = beacon.band_slot if beacon.enabled else -1
+    groups = _groups(geom, cfg.uep, b0)
     H = geom.H
+    # grid blocks cover ceil(H/26) (a partial trailing block encodes the
+    # zero-padded stream tail -> zero codeword == v2's zero pad cells)
+    nbq = -(-H // rs.N)
+    M = -(-nbq // 13)
+    NB = 13 * M
     n_words = layout.n_raw_words
     # 27-word blocks feeding dot702_dm; enough for the input AND the widest
     # group's Lk*M 26-column blocks
     nblk7 = max(-(-n_words // 27), max((k // 2) * M for k, _l, _h in groups))
     P702 = pl._pack702_dm()
     hdrT = np.asarray(layout.header_words.T, dtype=np.int8)
-    yord = os.environ.get("T3_V3_YORD", "blocks")
+    # the beacon path is built on the block-major grid only
+    yord = ("blocks" if b0 >= 0
+            else os.environ.get("T3_V3_YORD", "blocks"))
 
     consts = []
     for k, lo, hi in groups:
@@ -210,6 +230,37 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
             jnp.asarray(_off_data(cfg.seed, k, lo, hi)),
             jnp.asarray(_off_parity(cfg.seed, k, lo, hi)),
         ))
+
+    if b0 >= 0:
+        # beacon band: its column is computed separately (unscrambled RS
+        # digits -> blocked splice -> row-space scramble) and overwrites
+        # the group machinery's throwaway column at assembly.  The splice
+        # is pure reshape algebra: payload row j sits at r = j + j//(p-1)
+        # + 1, i.e. stream blocked (S, p-1) + a leading beacon column
+        # gives the (S, p) row grid (old/.../v6_min.hpp beacon insertion).
+        u0, v0 = b0 // 3, b0 % 3
+        k0 = geom.ks[b0]
+        Lk0 = k0 // 2
+        blocks0 = geom.blocks[b0]
+        M0 = -(-blocks0 // 13) if blocks0 else 0
+        Bk0 = Lk0 * M0
+        p = beacon.words_period
+        S = -(-H // p)
+        SL = S * (p - 1)
+        bsym_dig = np.asarray(
+            [geom.beacon_sym % 3, (geom.beacon_sym // 3) % 3,
+             (geom.beacon_sym // 9) % 3], dtype=np.int8)
+        patb = _np_pat(cfg.seed)
+        # row-space offsets (S, p): 0 at the beacon column (t == 0,
+        # unscrambled), pat[(9r + b0) % 6] at payload rows r = s*p + t
+        offb = np.zeros((S, p), dtype=np.float32)
+        rr = np.arange(S * p).reshape(S, p)
+        if p > 1:
+            offb[:, 1:] = patb[(3 * (rr[:, 1:] % 2) + b0) % 6]
+        Dk0 = jnp.asarray(_data_const(k0)) if blocks0 else None
+        Pk0 = jnp.asarray(_parity_const(k0)) if blocks0 else None
+        offb_j = jnp.asarray(offb)
+        bsym_j = jnp.asarray(bsym_dig)
 
     def fn(raw_words):
         # D-major digit planes (27, n) [row 9d + b_w]: three elementwise
@@ -260,7 +311,36 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
                 sp = fmod3(par.astype(jnp.float32) + offP).astype(jnp.int8)
                 wp = sp[:, :, :, 0] + 3 * sp[:, :, :, 1] + 9 * sp[:, :, :, 2]
                 parts.append(jnp.concatenate([wd, wp], axis=-1))
-            body = jnp.concatenate(parts, axis=1)
+            body = jnp.concatenate(parts, axis=1)      # (3, 3, M, 13, 26)
+            if b0 >= 0:
+                if blocks0:
+                    Yg0 = Y[:, u0, v0]                 # (n7, 3, 26)
+                    Yg0 = (jnp.pad(Yg0, ((0, Bk0 - nblk7), (0, 0), (0, 0)))
+                           if Bk0 > nblk7 else Yg0[:Bk0])
+                    Yg0 = Yg0.reshape(M0, Lk0, 3, 26)
+                    d0 = lax.dot_general(Yg0, Dk0,
+                                         (((3, 1), (0, 1)), ((), ())),
+                                         preferred_element_type=jnp.int32)
+                    sd0 = fmod3(d0.astype(jnp.float32)).astype(jnp.int8)
+                    p0 = lax.dot_general(Yg0, Pk0,
+                                         (((1, 2, 3), (2, 0, 1)), ((), ())),
+                                         preferred_element_type=jnp.int32)
+                    sp0 = fmod3(p0.astype(jnp.float32)).astype(jnp.int8)
+                    cw = jnp.concatenate([sd0, sp0], axis=-1)
+                    stream = cw.transpose(1, 0, 2, 3) \
+                        .reshape(3, M0 * 13 * 26)[:, :blocks0 * 26]
+                else:
+                    stream = jnp.zeros((3, 0), dtype=jnp.int8)
+                stream = jnp.pad(stream,
+                                 ((0, 0), (0, SL - blocks0 * 26)))
+                col = jnp.concatenate(
+                    [jnp.broadcast_to(bsym_j[:, None, None], (3, S, 1)),
+                     stream.reshape(3, S, p - 1)], axis=2)
+                col = fmod3(col.astype(jnp.float32)
+                            + offb_j).astype(jnp.int8)
+                w0 = (col[0] + 3 * col[1] + 9 * col[2]).reshape(S * p)
+                w0 = jnp.pad(w0[:H], (0, NB * 26 - H)).reshape(M, 13, 26)
+                body = body.at[u0, v0].set(w0)
             bodyT = body.reshape(NUM_BANDS, NB * 26)[:, :H]
             return jnp.concatenate([jnp.asarray(hdrT), bodyT], axis=1)
         Y = lax.dot_general(jnp.asarray(P702, dtype=jnp.int8), X3,
@@ -314,11 +394,14 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
     corrupted streams (ok semantics: every block's syndromes are zero)."""
     from . import pipeline as pl
     hdr, geom = layout.hdr, layout.geom
-    groups = _groups(geom, hdr.uep)
-    nblk = geom.blocks[0]
-    M = -(-nblk // 13)
-    NB = 13 * M
+    beacon = hdr.beacon
+    b0 = beacon.band_slot if beacon.enabled else -1
+    groups = _groups(geom, hdr.uep, b0)
     H = geom.H
+    nblk_u = H // rs.N           # full codewords per uniform band
+    nbq = -(-H // rs.N)          # grid blocks incl. the partial tail
+    M = -(-nbq // 13)
+    NB = 13 * M
     max_d = max(geom.blocks[b] * geom.ks[b] for b in range(NUM_BANDS))
     MB = -(-max_d // 26)
     n_out = layout.n_out_words
@@ -328,10 +411,14 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
     off_even = jnp.asarray(pat[b9 % 6])
     off_odd = jnp.asarray(pat[(3 + b9) % 6])
     S8 = jnp.asarray(rs._matrices_pm(18)["S2"], dtype=jnp.int8)  # (24, 3, 26)
-    # per-v syndrome row mask: band 3u+v checks its group's r = 26-k rows
-    rmask = np.zeros((3, 8, 1, 3, 1, 1), dtype=bool)
+    # per-(u, v) syndrome row mask: band 3u+v checks its group's r = 26-k
+    # rows; the beacon band position is fully masked (its column has its
+    # own row geometry -- checked separately below)
+    rmask = np.zeros((3, 8, 3, 3, 1, 1), dtype=bool)
     for k, lo, hi in groups:
         rmask[:, :rs.N - k, :, lo:hi] = True
+    if b0 >= 0:
+        rmask[:, :, b0 // 3, b0 % 3] = False
     rmask = jnp.asarray(rmask)
     C_bw = np.asarray(pl._unpack702_bw())
     i27 = np.arange(27)
@@ -344,7 +431,19 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
     C_dm5 = jnp.asarray(C_dm_np.reshape(3, 3, 3, *C_dm_np.shape[1:]))
     extract = [(k, lo, hi, jnp.asarray(_extract_const(k)))
                for k, lo, hi in groups]
-    asm = os.environ.get("T3_V3_ASM", "blk")
+    # the beacon path is built on the blocked assembly only
+    asm = "blk" if b0 >= 0 else os.environ.get("T3_V3_ASM", "blk")
+
+    if b0 >= 0:
+        u0, v0 = b0 // 3, b0 % 3
+        k0 = geom.ks[b0]
+        Lk0, r0 = k0 // 2, rs.N - k0
+        blocks0 = geom.blocks[b0]
+        M0 = -(-blocks0 // 13) if blocks0 else 0
+        p = beacon.words_period
+        Sb_ = -(-H // p)
+        SLb = Sb_ * (p - 1)
+        Ek0 = jnp.asarray(_extract_const(k0)) if blocks0 else None
 
     def fn(body_T):                                        # (9, H)
         # pad the 9-row wire BEFORE divmod/descramble (1/3 the bytes of
@@ -369,6 +468,10 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
                                 preferred_element_type=jnp.int32)
             S = fmod3(S.astype(jnp.float32)) \
                 .reshape(3, 8, 3, 3, M, 13)                # (d', r8, u, v, ...)
+            # uniform bands: every grid block is checked, INCLUDING the
+            # partial tail (real wire cells + zero pad) -- v2's check path
+            # pads the grid to 16-block pages and checks all of them, so
+            # a corrupted tail cell flags the superframe there too
             ok = ~jnp.any((S != 0.0) & rmask)
         outs = []
         for k, lo, hi, Ek in extract:
@@ -392,6 +495,40 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
             outs.append(pf)
         if asm == "blk":
             M5 = jnp.concatenate(outs, axis=2)             # (3, 3, 3, MB, 26)
+            if b0 >= 0:
+                # beacon band: inverse splice (drop the beacon column of
+                # the (S, p) row grid), check/extract its own codewords,
+                # overwrite the group machinery's throwaway column
+                if blocks0:
+                    bcol = dig[:, u0, v0].reshape(3, NB * 26)[:, :H]
+                    bcol = jnp.pad(bcol, ((0, 0), (0, Sb_ * p - H)))
+                    bstr = bcol.reshape(3, Sb_, p)[:, :, 1:] \
+                        .reshape(3, SLb)[:, :blocks0 * 26]
+                    bcw = jnp.pad(
+                        bstr, ((0, 0), (0, M0 * 13 * 26 - blocks0 * 26))) \
+                        .reshape(3, M0, 13, 26)
+                    if rs_mode != "none":
+                        Sb = lax.dot_general(S8, bcw,
+                                             (((1, 2), (0, 3)), ((), ())),
+                                             preferred_element_type=jnp.int32)
+                        Sb = fmod3(Sb.astype(jnp.float32)) \
+                            .reshape(3, 8, M0, 13)
+                        bblk_ok = (lax.broadcasted_iota(
+                            jnp.int32, (M0, 13), 0) * 13
+                            + lax.broadcasted_iota(
+                                jnp.int32, (M0, 13), 1)) < blocks0
+                        ok = ok & ~jnp.any(
+                            (Sb[:, :r0] != 0.0) & bblk_ok)
+                    pf0 = lax.dot_general(bcw, Ek0,
+                                          (((2, 3), (0, 1)), ((), ())),
+                                          preferred_element_type=jnp.int32) \
+                        .astype(jnp.int8).reshape(3, M0 * Lk0, 26)
+                    pf0 = (pf0[:, :MB] if M0 * Lk0 >= MB
+                           else jnp.pad(pf0, ((0, 0), (0, MB - M0 * Lk0),
+                                              (0, 0))))
+                else:
+                    pf0 = jnp.zeros((3, MB, 26), dtype=jnp.int8)
+                M5 = M5.at[:, u0, v0].set(pf0)
             wout = lax.dot_general(C_dm5, M5,
                                    (((0, 1, 2, 3), (0, 1, 2, 4)), ((), ())),
                                    preferred_element_type=jnp.int32) \

@@ -133,17 +133,85 @@ def test_v3_layout_knobs_bit_exact(yord, asm):
         pipeline._decode_body_fn.cache_clear()
 
 
+BEACON_CFGS = [
+    # flagship shape: luma-priority UEP + period-13 beacon (H % 26 == 0)
+    EncoderConfig(profile=ProfileID.P2_RS26_22, uep=uep_luma_priority(),
+                  beacon=SparseBeaconCfg(13, 4, True), superframe_words=1024),
+    # beacon band in slot 0 with a non-26-multiple height
+    EncoderConfig(profile=ProfileID.P2_RS26_22,
+                  beacon=SparseBeaconCfg(7, 0, True), superframe_words=512),
+    # minimum period (half the beacon band is beacons)
+    EncoderConfig(profile=ProfileID.P3_RS26_20,
+                  beacon=SparseBeaconCfg(2, 8, True), superframe_words=300),
+    # maximum period + odd stream length
+    EncoderConfig(profile=ProfileID.P2_RS26_22,
+                  beacon=SparseBeaconCfg(26, 3, True), superframe_words=777),
+]
+
+
+@pytest.mark.parametrize("ci", range(len(BEACON_CFGS)))
+def test_beacon_v3_bit_exact(ci):
+    """Beacon configs take the v3 path: wire bytes, decoded bytes, and ok
+    semantics (beacon cells unchecked, payload/tail cells checked exactly
+    where v2 checks them) all match v2."""
+    cfg = BEACON_CFGS[ci]
+    n = cfg.superframe_words
+    raw = _raw(n, seed=23 + ci)
+    layout, w2, w3 = _enc_both(cfg, jnp.asarray(raw))
+    assert np.array_equal(w2, w3), "beacon encode diverged"
+    hdr = SuperframeHeader(profile=cfg.profile, uep=cfg.uep, tile=cfg.tile,
+                           seed=cfg.seed, beacon=cfg.beacon,
+                           subword=cfg.subword, centered=cfg.centered,
+                           coset=cfg.coset)
+    dlay = pipeline.build_decode_layout(
+        hdr, layout.total_words - pipeline.HEADER_WORDS)
+    assert pipeline_v3.decode_supported(dlay, "check")
+    body = jnp.asarray(w3[:, pipeline.HEADER_WORDS:])
+    g = dlay.geom
+    b0, p = cfg.beacon.band_slot, cfg.beacon.words_period
+    cases = [("clean", body),
+             ("uniform_payload",
+              body.at[(b0 + 1) % 9, 57].set((body[(b0 + 1) % 9, 57] + 1) % 27)),
+             ("beacon_cell", body.at[b0, p].set((body[b0, p] + 1) % 27)),
+             ("beacon_payload",
+              body.at[b0, p + 1].set((body[b0, p + 1] + 1) % 27))]
+    if g.H % 26:
+        bu = (b0 + 2) % 9
+        rt = g.blocks[bu] * 26      # first partial-tail cell
+        cases.append(("uniform_tail",
+                      body.at[bu, rt].set((body[bu, rt] + 1) % 27)))
+    f3 = pipeline_v3.check_decode_fn_v3(dlay, "check")
+    pipeline._decode_body_fn.cache_clear()
+    os.environ["T3_PIPE_V3"] = "0"
+    try:
+        f2 = pipeline._decode_body_fn(dlay, "check", wire="planes")
+        for name, inp in cases:
+            o2, k2 = f2(inp)
+            o3, k3 = f3(inp)
+            assert bool(k2) == bool(k3), (name, bool(k2), bool(k3))
+            assert np.array_equal(np.asarray(o2), np.asarray(o3)), name
+            if name == "clean":
+                assert bool(k3)
+                assert np.array_equal(np.asarray(o3).T[:n], raw)
+            if name in ("uniform_payload", "beacon_payload"):
+                assert not bool(k3), name
+    finally:
+        os.environ["T3_PIPE_V3"] = "1"
+        pipeline._decode_body_fn.cache_clear()
+
+
 def test_v3_ineligible_configs_fall_back():
+    p5 = EncoderConfig(profile=ProfileID.P5_RS26_22_2D, tile=Tile2D(8, 8),
+                       superframe_words=256)
+    lay5 = pipeline.build_encode_layout(p5, 256)
+    assert not pipeline_v3.encode_supported(lay5)
+    # beacon configs are v3-eligible since round 2; repair modes are not
     beacon = EncoderConfig(profile=ProfileID.P2_RS26_22,
                            beacon=SparseBeaconCfg(words_period=7,
                                                   band_slot=2, enabled=True),
                            superframe_words=256)
     lay = pipeline.build_encode_layout(beacon, 256)
-    assert not pipeline_v3.encode_supported(lay)
-    p5 = EncoderConfig(profile=ProfileID.P5_RS26_22_2D, tile=Tile2D(8, 8),
-                       superframe_words=256)
-    lay5 = pipeline.build_encode_layout(p5, 256)
-    assert not pipeline_v3.encode_supported(lay5)
+    assert pipeline_v3.encode_supported(lay)
     # roundtrip still works through the public API for both
     for cfg in (beacon, p5):
         raw = _raw(200, seed=3)
