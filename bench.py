@@ -25,12 +25,18 @@ def main():
     import jax
     import jax.numpy as jnp
     from ternary_image_codec_tpu.config import (EncoderConfig, ProfileID,
+                                                SparseBeaconCfg,
                                                 uep_luma_priority)
     from ternary_image_codec_tpu.ops import pipeline
 
     W, H = 7680, 4320
     n_raw = W * H // 2  # word9: 2 px/word
-    cfg = EncoderConfig(profile=ProfileID.P2_RS26_22, uep=uep_luma_priority())
+    # T3_BENCH_BEACON=1: the flagship streaming shape (period-13 beacon in
+    # band 4, the entry() config) instead of the BASELINE.json headline
+    beacon = (SparseBeaconCfg(13, 4, True)
+              if os.environ.get("T3_BENCH_BEACON") else SparseBeaconCfg())
+    cfg = EncoderConfig(profile=ProfileID.P2_RS26_22, uep=uep_luma_priority(),
+                        beacon=beacon)
     # A/B knobs (defaults are the shipped production values)
     sf_batch = int(os.environ.get("T3_BENCH_SF_BATCH", "128"))
     # raw_wire="planes": stage the RAW input (n_sf, 9, sf) plane-major --
