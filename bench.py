@@ -97,7 +97,10 @@ def main():
     # same way.
     # 16 frames per dispatch: the ~25 ms tunnel floor amortizes to ~1.6 ms
     # per frame (measured +0.6-0.9 fps over 8 in two independent series)
-    iters = int(os.environ.get("T3_BENCH_ITERS", "16"))
+    # 24 frames/dispatch: the ~25 ms tunnel floor amortizes to ~1 ms per
+    # frame (38.9 -> 39.4 fps over 16 in the same series); 32 OOMs (the 3
+    # staged input sets alone are ~14 GB of the 16 GB HBM)
+    iters = int(os.environ.get("T3_BENCH_ITERS", "24"))
     flat_struct = os.environ.get("T3_BENCH_STRUCT", "flat") == "flat"
 
     def _stage(bi):

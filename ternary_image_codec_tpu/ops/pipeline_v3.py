@@ -219,6 +219,11 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
     # the beacon path is built on the block-major grid only
     yord = ("blocks" if b0 >= 0
             else os.environ.get("T3_V3_YORD", "blocks"))
+    # T3_V3_DOTF=1: the mod-3 reduction dots accumulate in f32 directly
+    # (exact: sums <= ~600 << 2^24), skipping the s32->f32 convert pass
+    # before fmod3 (chip A/B knob)
+    PT = (jnp.float32 if os.environ.get("T3_V3_DOTF", "0") == "1"
+          else jnp.int32)
 
     consts = []
     for k, lo, hi in groups:
@@ -300,14 +305,14 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
                 # data: (3u, gv, M, 3d, 13, k)
                 data = lax.dot_general(Yg, Dk,
                                        (((5, 1), (2, 3)), ((2, 3), (0, 1))),
-                                       preferred_element_type=jnp.int32)
+                                       preferred_element_type=PT)
                 sd = fmod3(data.astype(jnp.float32)
                            + offD.swapaxes(2, 3)).astype(jnp.int8)
                 wd = sd[:, :, :, 0] + 3 * sd[:, :, :, 1] + 9 * sd[:, :, :, 2]
                 # parity: (3u, gv, M, 3d', 13, r)
                 par = lax.dot_general(Yg, Pk,
                                       (((1, 4, 5), (4, 2, 3)), ((2, 3), (0, 1))),
-                                      preferred_element_type=jnp.int32)
+                                      preferred_element_type=PT)
                 sp = fmod3(par.astype(jnp.float32) + offP).astype(jnp.int8)
                 wp = sp[:, :, :, 0] + 3 * sp[:, :, :, 1] + 9 * sp[:, :, :, 2]
                 parts.append(jnp.concatenate([wd, wp], axis=-1))
@@ -320,11 +325,11 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
                     Yg0 = Yg0.reshape(M0, Lk0, 3, 26)
                     d0 = lax.dot_general(Yg0, Dk0,
                                          (((3, 1), (0, 1)), ((), ())),
-                                         preferred_element_type=jnp.int32)
+                                         preferred_element_type=PT)
                     sd0 = fmod3(d0.astype(jnp.float32)).astype(jnp.int8)
                     p0 = lax.dot_general(Yg0, Pk0,
                                          (((1, 2, 3), (2, 0, 1)), ((), ())),
-                                         preferred_element_type=jnp.int32)
+                                         preferred_element_type=PT)
                     sp0 = fmod3(p0.astype(jnp.float32)).astype(jnp.int8)
                     cw = jnp.concatenate([sd0, sp0], axis=-1)
                     stream = cw.transpose(1, 0, 2, 3) \
@@ -357,7 +362,7 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
             # data: (3u, gv, 3d, M, 13, k)
             data = lax.dot_general(Yg, Dk,
                                    (((3, 5), (2, 3)), ((0, 1), (0, 1))),
-                                   preferred_element_type=jnp.int32)
+                                   preferred_element_type=PT)
             # int8 before the 3-slice pack: the sliced intermediate
             # materializes, and f32 would be a 4x HBM tensor
             sd = fmod3(data.astype(jnp.float32) + offD).astype(jnp.int8)
@@ -365,7 +370,7 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
             # parity: (3u, gv, M, 3d', 13, r)
             par = lax.dot_general(Yg, Pk,
                                   (((2, 3, 5), (2, 3, 4)), ((0, 1), (0, 1))),
-                                  preferred_element_type=jnp.int32)
+                                  preferred_element_type=PT)
             sp = fmod3(par.astype(jnp.float32) + offP).astype(jnp.int8)
             wp = sp[:, :, :, 0] + 3 * sp[:, :, :, 1] + 9 * sp[:, :, :, 2]
             parts.append(jnp.concatenate([wd, wp], axis=-1))
@@ -433,6 +438,8 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
                for k, lo, hi in groups]
     # the beacon path is built on the blocked assembly only
     asm = "blk" if b0 >= 0 else os.environ.get("T3_V3_ASM", "blk")
+    PT = (jnp.float32 if os.environ.get("T3_V3_DOTF", "0") == "1"
+          else jnp.int32)
 
     if b0 >= 0:
         u0, v0 = b0 // 3, b0 % 3
@@ -465,7 +472,7 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
             ok = jnp.asarray(True)
         else:
             S = lax.dot_general(S8, dig, (((1, 2), (0, 5)), ((), ())),
-                                preferred_element_type=jnp.int32)
+                                preferred_element_type=PT)
             S = fmod3(S.astype(jnp.float32)) \
                 .reshape(3, 8, 3, 3, M, 13)                # (d', r8, u, v, ...)
             # uniform bands: every grid block is checked, INCLUDING the
@@ -510,7 +517,7 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
                     if rs_mode != "none":
                         Sb = lax.dot_general(S8, bcw,
                                              (((1, 2), (0, 3)), ((), ())),
-                                             preferred_element_type=jnp.int32)
+                                             preferred_element_type=PT)
                         Sb = fmod3(Sb.astype(jnp.float32)) \
                             .reshape(3, 8, M0, 13)
                         bblk_ok = (lax.broadcasted_iota(
