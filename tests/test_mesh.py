@@ -143,6 +143,23 @@ class TestSuperframeDP:
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+class TestBeaconDP:
+    def test_beacon_roundtrip_step_dp(self, mesh8):
+        """The flagship beacon config (v3 beacon-splice path) under
+        frame-DP: decoded bytes and ok reduction match the single-device
+        pipeline."""
+        from ternary_image_codec_tpu.config import SparseBeaconCfg
+        cfg = EncoderConfig(profile=ProfileID.P2_RS26_22,
+                            uep=uep_luma_priority(),
+                            beacon=SparseBeaconCfg(13, 4, True))
+        B, n_raw = 8, 192
+        frames = np.stack([make_raw_words(n_raw, seed=60 + i)
+                           for i in range(B)])
+        out, ok = M.roundtrip_step_dp(frames, cfg, mesh8)
+        assert bool(ok)
+        np.testing.assert_array_equal(np.asarray(out)[:, :n_raw], frames)
+
+
 class TestStreamSharding:
     def test_encode_stream_sharded_matches_single(self, mesh8):
         cfg = EncoderConfig(profile=ProfileID.P2_RS26_22,
