@@ -25,7 +25,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from ternary_image_codec_tpu.config import (EncoderConfig, ProfileID,
-                                                SparseBeaconCfg,
+                                                SparseBeaconCfg, Tile2D,
                                                 uep_luma_priority)
     from ternary_image_codec_tpu.ops import pipeline
 
@@ -35,8 +35,17 @@ def main():
     # band 4, the entry() config) instead of the BASELINE.json headline
     beacon = (SparseBeaconCfg(13, 4, True)
               if os.environ.get("T3_BENCH_BEACON") else SparseBeaconCfg())
-    cfg = EncoderConfig(profile=ProfileID.P2_RS26_22, uep=uep_luma_priority(),
-                        beacon=beacon)
+    # T3_BENCH_PROFILE=p5: the 2D-interleaved profile at the largest
+    # header-representable tile, 26x26 (the reference exemplar's 64x64
+    # tile cannot round-trip the header's mod-27 tile slots -- rejected
+    # at encode, docs/DIVERGENCES.md)
+    if os.environ.get("T3_BENCH_PROFILE", "p2") == "p5":
+        cfg = EncoderConfig(profile=ProfileID.P5_RS26_22_2D,
+                            uep=uep_luma_priority(), beacon=beacon,
+                            tile=Tile2D(26, 26))
+    else:
+        cfg = EncoderConfig(profile=ProfileID.P2_RS26_22,
+                            uep=uep_luma_priority(), beacon=beacon)
     # A/B knobs (defaults are the shipped production values)
     sf_batch = int(os.environ.get("T3_BENCH_SF_BATCH", "128"))
     # raw_wire="planes": stage the RAW input (n_sf, 9, sf) plane-major --

@@ -58,21 +58,42 @@ def _snake_full(syms, w: int, h: int):
 
 
 def interleave(syms, w: int, h: int):
-    """syms (..., n) -> interleaved (..., n)."""
+    """syms (..., n) -> interleaved (..., n).
+
+    Whole tiles are the constant-free reshape+row-flip; a partial final
+    tile takes its (filtered) snake order as a <= w*h-element gather.  No
+    O(n) index constant ever reaches the HLO (a full-stream take measured
+    ~2.6x the whole P5 pipeline on the chip bench, docs/PERF.md)."""
     syms = jnp.asarray(syms)
     n = syms.shape[-1]
-    if w == 0 or h == 0:
+    if w == 0 or h == 0 or n == 0:
         return syms
-    if n % (w * h) == 0:
+    A = w * h
+    if n % A == 0:
         return _snake_full(syms, w, h)
-    return jnp.take(syms, jnp.asarray(perm(n, w, h)), axis=-1)
+    nfull = n - n % A
+    order = snake_order(w, h)
+    tail_o = order[order < n - nfull]
+    tail = jnp.take(syms[..., nfull:], jnp.asarray(tail_o), axis=-1)
+    if not nfull:
+        return tail
+    return jnp.concatenate(
+        [_snake_full(syms[..., :nfull], w, h), tail], axis=-1)
 
 
 def deinterleave(syms, w: int, h: int):
     syms = jnp.asarray(syms)
     n = syms.shape[-1]
-    if w == 0 or h == 0:
+    if w == 0 or h == 0 or n == 0:
         return syms
-    if n % (w * h) == 0:
+    A = w * h
+    if n % A == 0:
         return _snake_full(syms, w, h)  # snake is an involution per tile
-    return jnp.take(syms, jnp.asarray(inv_perm(n, w, h)), axis=-1)
+    nfull = n - n % A
+    order = snake_order(w, h)
+    tail_o = np.argsort(order[order < n - nfull], kind="stable")
+    tail = jnp.take(syms[..., nfull:], jnp.asarray(tail_o), axis=-1)
+    if not nfull:
+        return tail
+    return jnp.concatenate(
+        [_snake_full(syms[..., :nfull], w, h), tail], axis=-1)

@@ -165,6 +165,17 @@ def build_encode_layout(cfg: EncoderConfig, n_raw_words: int,
             raise ValueError("beacon words_period must be in 1..26")
         if not (0 <= cfg.beacon.band_slot < NUM_BANDS):
             raise ValueError("beacon band_slot must be in 0..8")
+    if _is_p5(cfg.profile, cfg.tile) and not (cfg.tile.w <= 26
+                                              and cfg.tile.h <= 26):
+        # the header stores tile w, h mod 27 -- ONE GF(27) symbol each
+        # (ops/header.py slots 7, 8; reference layout) -- so dims > 26
+        # cannot round-trip: the reference's own P5 exemplar
+        # (old/src/main.cpp, tile 64x64) re-parses as tile 10x10 and
+        # deinterleaves the stream with the wrong permutation (valid
+        # codewords, scrambled data).  Reject instead of corrupting
+        # (docs/DIVERGENCES.md).
+        raise ValueError(
+            "P5 tile dims must be 1..26 (one header symbol each)")
     if any(bp % 4 == 3 for bp in cfg.uep.band_profile):
         # The header stores one trit per band (band_profile % 3,
         # old/.../v6_min.hpp:219-228), so per-band P4 (index 3) cannot be

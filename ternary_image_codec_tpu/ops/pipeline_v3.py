@@ -30,20 +30,33 @@ bit-exact vs the v2 pipeline -- tests/test_pipeline_v3.py):
                   concat data|parity on the codeword axis
     concat v-groups -> (3, 3, M, 13, 26) == wire body (9, H) by reshape.
 
-Decode (check/none modes; repair modes keep the v2 paged machinery):
+Decode (check/none/paged modes; "full" keeps the v2 machinery):
 
   wire (9, H) --divmod+descramble--> dig (3, 3, 3, M, 13, 26)
     syndromes: ONE r=8 lifted contraction for all bands (+ per-v row mask)
     data:      dig . E_k  (D_k transposed, c<k selection folded in)
     assembly:  the dmaj-permuted _unpack702_bw contraction -> (9, n_out).
+    paged: v2's page-compacted correction (16-block pages, band-major,
+    capacity C = min(g*npage, max(6, g)), slot-gather merge) runs on the
+    blocked grid between extraction and assembly, bit-identical decisions;
+    deltas apply to the extracted data in 26-col grid coordinates.
 
-Eligibility: not P5, residue-class k-groups (checked by encode_supported/
+Eligibility: residue-class k-groups (checked by encode_supported/
 decode_supported); everything else falls back to v2.  A beacon band is
 supported: its column is computed separately (unscrambled RS digits ->
 blocked (S, p-1)->(S, p) splice -> row-space scramble) and overwrites the
 group machinery's throwaway column at assembly; non-26-multiple heights
 ride a partial trailing grid block whose cells are the zero stream tail
 (masked out of the syndrome check, like v2 never reading them).
+
+P5 (2D interleave, old/.../v6_min.hpp:1083-1086,749-813) rides a stream
+branch: encode extracts the symbol stream planes with one 702-period
+permutation dot (_stream_const), interleaves on (3, L) (whole tiles are
+a constant-free reshape+row-flip), and folds the permuted stream straight
+into the blocked Y layout; decode unfolds the extracted data grid back to
+stream planes, deinterleaves, and rebuilds RAW words with the inverse
+702-period contraction (v2's _stream702 constant).  P5 + beacon falls
+back to v2.
 """
 from __future__ import annotations
 
@@ -56,8 +69,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import NUM_BANDS
-from . import rs, scramble
-from .gf27 import fmod3
+from . import interleave, rs, scramble
+from .gf27 import _m3i, fmod3
 
 
 def _groups(geom, uep, b0: int = -1):
@@ -79,8 +92,8 @@ def _groups(geom, uep, b0: int = -1):
 
 def _eligible(profile, tile, beacon, geom) -> bool:
     from . import pipeline as pl
-    if pl._is_p5(profile, tile):
-        return False
+    if pl._is_p5(profile, tile) and beacon.enabled:
+        return False  # P5 rides the stream-interleave branch, no beacon yet
     if geom.H // rs.N == 0:
         return False
     b0 = beacon.band_slot if beacon.enabled else -1
@@ -142,6 +155,51 @@ def _extract_const(k: int):
             J, i = divmod(j * k + c, 26)
             E[j, c, J, i] = 1
     return E
+
+
+@functools.cache
+def _fold234_enc():
+    """W[(3 d, 234 t), (3 u, 3 v, 3 d', 26 i)] = 1 iff t == 9i + 3u + v
+    and d' == d: interleaved stream planes -> the blocked Y layout as ONE
+    contraction -- a transpose would materialize a (.., 3, 3)-minor
+    layout (the plane-major killer, docs/PERF.md)."""
+    W = np.zeros((3, 234, 3, 3, 3, 26), dtype=np.int8)
+    for i in range(26):
+        for u in range(3):
+            for v in range(3):
+                t = 9 * i + 3 * u + v
+                for d in range(3):
+                    W[d, t, u, v, d, i] = 1
+    return W
+
+
+@functools.cache
+def _fold234_dec():
+    """W[(3 d), (3 u, 3 v, 26 i), (234 t)] = 1 iff t == 9i + 3u + v, with
+    d riding the dot batch dims: blocked data grid -> stream planes."""
+    W = np.zeros((3, 3, 3, 26, 234), dtype=np.int8)
+    for i in range(26):
+        for u in range(3):
+            for v in range(3):
+                W[:, u, v, i, 9 * i + 3 * u + v] = 1
+    return W
+
+
+@functools.cache
+def _stream_const():
+    """V[(27 row, 27 w), (3 dd, 234 m)] = 1 iff useful trit t = 3m + dd of
+    a 702-trit word block is trit u = t % 26 of word w = t // 26, i.e.
+    digit u % 3 of word-digit row u // 3 (d-major digit-plane row
+    9*(u % 3) + u // 3).  Word digit planes -> symbol stream planes, the
+    P5 pre-interleave extraction (old/.../v6_min.hpp:1051-1082 read as a
+    stream instead of a grid)."""
+    V = np.zeros((27, 27, 3, 234), dtype=np.int8)
+    for m in range(234):
+        for dd in range(3):
+            t = 3 * m + dd
+            w, u = divmod(t, 26)
+            V[9 * (u % 3) + u // 3, w, dd, m] = 1
+    return V
 
 
 def _np_pat(seed) -> np.ndarray:
@@ -216,8 +274,19 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
     nblk7 = max(-(-n_words // 27), max((k // 2) * M for k, _l, _h in groups))
     P702 = pl._pack702_dm()
     hdrT = np.asarray(layout.header_words.T, dtype=np.int8)
-    # the beacon path is built on the block-major grid only
-    yord = ("blocks" if b0 >= 0
+    p5 = pl._is_p5(cfg.profile, cfg.tile)
+    if p5:
+        # decoder-visible stream length; both sides permute at this length
+        # (see _encode_parts_cm for the derivation).  L_out5 <= 234*nblk7:
+        # the b == 0 term of the min is 9*dlens[0] <= 9*max_need <=
+        # 26*9*max(Lk*M) = 234*nblk7, so the un-truncated stream always
+        # covers it.
+        dlens5 = [geom.blocks[b] * geom.ks[b] for b in range(NUM_BANDS)]
+        L_out5 = int(min(NUM_BANDS * dlens5[b] + b for b in range(NUM_BANDS)))
+        assert L_out5 <= 234 * nblk7
+        V702 = jnp.asarray(_stream_const())
+    # the beacon and P5 paths are built on the block-major grid only
+    yord = ("blocks" if b0 >= 0 or p5
             else os.environ.get("T3_V3_YORD", "blocks"))
     # T3_V3_DOTF=1: the mod-3 reduction dots accumulate in f32 directly
     # (exact: sums <= ~600 << 2^24), skipping the s32->f32 convert pass
@@ -286,15 +355,34 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
         X3 = pl_dig.reshape(27, nblk7, 27)
         parts = []
         if yord == "blocks":
-            # block-major grid: Y (n7, 702) keeps the dot702 output in the
-            # layout the group contractions consume -- the v3 trace showed
-            # XLA inserting a (702, n7)->(n7, 702) relayout copy (copy.95,
-            # ~44 ms / 32 frames) plus a per-group Yg copy (copy.96) when
-            # the 702 axis leads
-            Y = lax.dot_general(X3, jnp.asarray(P702, dtype=jnp.int8),
-                                (((0, 2), (1, 2)), ((), ())),
-                                preferred_element_type=jnp.int32)
-            Y = Y.astype(jnp.int8).reshape(nblk7, 3, 3, 3, 26)
+            if p5:
+                # P5: extract the symbol stream planes (one 702-period
+                # permutation dot), interleave on (3, L) (whole tiles are
+                # a reshape+row-flip, ops/interleave.py), then fold the
+                # permuted stream straight into the blocked Y layout --
+                # stream index 234*n7 + 9i + b at band b = 3u + v
+                st = lax.dot_general(X3, V702, (((0, 2), (0, 1)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+                st = st.astype(jnp.int8).transpose(1, 0, 2) \
+                    .reshape(3, 234 * nblk7)               # (3 d, L)
+                st = interleave.interleave(st[:, :L_out5],
+                                           cfg.tile.w, cfg.tile.h)
+                st = jnp.pad(st, ((0, 0), (0, 234 * nblk7 - L_out5)))
+                Y = lax.dot_general(st.reshape(3, nblk7, 234),
+                                    jnp.asarray(_fold234_enc()),
+                                    (((0, 2), (0, 1)), ((), ())),
+                                    preferred_element_type=jnp.int32) \
+                    .astype(jnp.int8)                      # (n7, u, v, d, i)
+            else:
+                # block-major grid: Y (n7, 702) keeps the dot702 output in
+                # the layout the group contractions consume -- the v3 trace
+                # showed XLA inserting a (702, n7)->(n7, 702) relayout copy
+                # (copy.95, ~44 ms / 32 frames) plus a per-group Yg copy
+                # (copy.96) when the 702 axis leads
+                Y = lax.dot_general(X3, jnp.asarray(P702, dtype=jnp.int8),
+                                    (((0, 2), (1, 2)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+                Y = Y.astype(jnp.int8).reshape(nblk7, 3, 3, 3, 26)
             for k, lo, hi, Dk, Pk, offD, offP in consts:
                 Lk = k // 2
                 Bk = Lk * M
@@ -388,7 +476,9 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
 
 def decode_supported(layout, rs_mode: str) -> bool:
     hdr = layout.hdr
-    return (rs_mode in ("check", "none")
+    if rs_mode == "paged" and hdr.beacon.enabled:
+        return False  # beacon-band repair keeps the v2 per-band machinery
+    return (rs_mode in ("check", "none", "paged")
             and _eligible(hdr.profile, hdr.tile, hdr.beacon, layout.geom))
 
 
@@ -436,8 +526,22 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
     C_dm5 = jnp.asarray(C_dm_np.reshape(3, 3, 3, *C_dm_np.shape[1:]))
     extract = [(k, lo, hi, jnp.asarray(_extract_const(k)))
                for k, lo, hi in groups]
-    # the beacon path is built on the blocked assembly only
-    asm = "blk" if b0 >= 0 else os.environ.get("T3_V3_ASM", "blk")
+    p5 = pl._is_p5(hdr.profile, hdr.tile)
+    if p5:
+        dlens5 = [geom.blocks[b] * geom.ks[b] for b in range(NUM_BANDS)]
+        L_out5 = int(min(NUM_BANDS * dlens5[b] + b for b in range(NUM_BANDS)))
+        assert L_out5 <= 234 * MB
+        N7w = -(-n_out // 27)
+        # v2's P5 assembly constant, (9 r, 27 w)-shaped for the blocked dot
+        U702 = jnp.asarray(
+            np.asarray(pl._stream702()).reshape(3, 234, NUM_BANDS, 27))
+    # the beacon, P5, and paged paths are built on the blocked assembly only
+    asm = ("blk" if b0 >= 0 or p5 or rs_mode == "paged"
+           else os.environ.get("T3_V3_ASM", "blk"))
+    # paged repair replicates v2's page geometry exactly (16-block pages
+    # over the band's ceil-to-16 block count) so correction decisions --
+    # including beyond-capacity overflow -- are bit-identical
+    nblk_p = max(-(-nblk_u // 16) * 16, 16)
     PT = (jnp.float32 if os.environ.get("T3_V3_DOTF", "0") == "1"
           else jnp.int32)
 
@@ -468,8 +572,16 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
         dig = jnp.stack(
             [fmod3(p - off + 3.0).astype(jnp.int8) for p in planes],
             axis=0).reshape(3, 3, 3, M, 13, 26)            # (d, u, v, M, j, c)
+        S_pg = None
+        oks = []
         if rs_mode == "none":
             ok = jnp.asarray(True)
+        elif rs_mode == "paged":
+            S_pg = lax.dot_general(S8, dig, (((1, 2), (0, 5)), ((), ())),
+                                   preferred_element_type=PT)
+            S_pg = fmod3(S_pg.astype(jnp.float32)).astype(jnp.int8) \
+                .reshape(3, 8, 3, 3, M, 13)
+            ok = None                                      # set after the loop
         else:
             S = lax.dot_general(S8, dig, (((1, 2), (0, 5)), ((), ())),
                                 preferred_element_type=PT)
@@ -494,12 +606,76 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
                 pf = (pf[:, :, :, :MB] if M * Lk >= MB
                       else jnp.pad(pf, ((0, 0),) * 3
                                    + ((0, MB - M * Lk), (0, 0))))
+                if rs_mode == "paged":
+                    # page-compacted correction on the blocked grid,
+                    # replicating _decode_body_fn's v2 paged machinery
+                    # byte-for-byte (same band-major page order, capacity,
+                    # slot-gather merge, ok semantics) -- only the pre
+                    # (divmod/descramble), extraction, and assembly around
+                    # it take the cheap v3 structure
+                    gv = hi - lo
+                    g = 3 * gv
+                    r = rs.N - k
+                    npage = nblk_p // 16
+                    dgb = dg.transpose(1, 2, 0, 3, 4, 5) \
+                        .reshape(3, gv, 3, NB, 26)         # (u, v, d, blk, c)
+                    dgb = (jnp.pad(dgb, ((0, 0),) * 3
+                                   + ((0, nblk_p - NB), (0, 0)))
+                           if nblk_p > NB else dgb[:, :, :, :nblk_p])
+                    Ug = dgb.reshape(g, 3, npage, 16, 26)
+                    Sg = S_pg[:, :r, :, lo:hi].reshape(3, r, 3, gv, NB)
+                    Sg = (jnp.pad(Sg, ((0, 0),) * 4 + ((0, nblk_p - NB),))
+                          if nblk_p > NB else Sg[..., :nblk_p])
+                    Sg = Sg.reshape(3, r, g, nblk_p)
+                    dirty = jnp.any(Sg.reshape(3 * r, g, nblk_p) != 0,
+                                    axis=0)
+                    C = min(g * npage, max(6, g))
+                    pdirty = jnp.any(dirty.reshape(g, npage, 16), axis=2) \
+                        .reshape(-1)                       # (g*npage,)
+                    pidx = jnp.sort(jnp.where(pdirty,
+                                              jnp.arange(g * npage),
+                                              g * npage))[:C]
+                    psafe = jnp.where(pidx < g * npage, pidx, 0)
+                    bb = psafe // npage
+                    pp = psafe - bb * npage
+                    g_rd = Ug[bb, :, pp]                   # (C, 3, 16, 26)
+                    g_rd = g_rd.transpose(1, 3, 0, 2) \
+                        .reshape(3, rs.N, C * 16)
+                    Sv = Sg.transpose(2, 0, 1, 3) \
+                        .reshape(g, 3, r, npage, 16)[bb, :, :, pp] \
+                        .transpose(1, 2, 0, 3).reshape(3, r, C * 16)
+                    d_c, ok_c = rs._correct_pm(g_rd, Sv, k)
+                    delta_g = _m3i(d_c - g_rd[:, :k])
+                    rank = jnp.cumsum(pdirty.astype(jnp.int32)) - 1
+                    slot = jnp.clip(rank, 0, C - 1)
+                    use_corr = pdirty & (rank < C)
+                    dpages = delta_g.reshape(3, k, C, 16) \
+                        .transpose(2, 0, 3, 1).reshape(C, 3, 16 * k)
+                    delta = jnp.where(use_corr[:, None, None],
+                                      dpages[slot], jnp.int8(0)) \
+                        .reshape(g, npage, 3, 16 * k).transpose(0, 2, 1, 3) \
+                        .reshape(g, 3, nblk_p * k)
+                    ok_pages = ok_c.reshape(C, 16)[slot]
+                    okb = jnp.where(use_corr[:, None], ok_pages,
+                                    (~dirty).reshape(g * npage, 16))
+                    oks.append(okb.reshape(-1))
+                    # deltas re-blocked from (blk, k) coords to the 26-col
+                    # grid stream; corrections past the full codewords are
+                    # dropped like v2's [:nblk_u] stream truncation
+                    dstream = jnp.pad(
+                        delta[:, :, :nblk_u * k],
+                        ((0, 0), (0, 0), (0, MB * 26 - nblk_u * k)))
+                    dpf = dstream.reshape(3, gv, 3, MB, 26) \
+                        .transpose(2, 0, 1, 3, 4)          # (d, u, v, MB, c)
+                    pf = _m3i(pf + dpf)
             else:
                 pf = pg.reshape(3, 3, hi - lo, M * Lk * 26)
                 pf = (pf[..., :MB * 26] if pf.shape[-1] >= MB * 26
                       else jnp.pad(pf, ((0, 0),) * 3
                                    + ((0, MB * 26 - pf.shape[-1]),)))
             outs.append(pf)
+        if rs_mode == "paged":
+            ok = jnp.all(jnp.concatenate(oks))
         if asm == "blk":
             M5 = jnp.concatenate(outs, axis=2)             # (3, 3, 3, MB, 26)
             if b0 >= 0:
@@ -536,6 +712,25 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
                 else:
                     pf0 = jnp.zeros((3, MB, 26), dtype=jnp.int8)
                 M5 = M5.at[:, u0, v0].set(pf0)
+            if p5:
+                # P5: unfold the data grid back to stream planes (index
+                # 234*n7 + 9i + 3u + v), deinterleave on (3, L), rebuild
+                # the RAW words with the 702-period contraction
+                st = lax.dot_general(M5, jnp.asarray(_fold234_dec()),
+                                     (((1, 2, 4), (1, 2, 3)), ((0,), (0,))),
+                                     preferred_element_type=jnp.int32) \
+                    .astype(jnp.int8).reshape(3, 234 * MB)
+                st = interleave.deinterleave(st[:, :L_out5],
+                                             hdr.tile.w, hdr.tile.h)
+                st = (jnp.pad(st, ((0, 0), (0, 234 * N7w - L_out5)))
+                      if 234 * N7w > L_out5 else st[:, :234 * N7w])
+                wout5 = lax.dot_general(st.reshape(3, N7w, 234), U702,
+                                        (((0, 2), (0, 1)), ((), ())),
+                                        preferred_element_type=jnp.int32) \
+                    .astype(jnp.int8)                      # (N7w, 9, 27)
+                out_T = wout5.transpose(1, 0, 2) \
+                    .reshape(NUM_BANDS, N7w * 27)[:, :n_out]
+                return out_T, ok
             wout = lax.dot_general(C_dm5, M5,
                                    (((0, 1, 2, 3), (0, 1, 2, 4)), ((), ())),
                                    preferred_element_type=jnp.int32) \

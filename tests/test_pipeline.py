@@ -63,6 +63,21 @@ class TestApiRoundtrip:
         prof, hdr = check_roundtrip(cfg, n_raw=40)
         assert hdr.tile == Tile2D(8, 4)
 
+    def test_p5_tile_above_26_rejected(self):
+        # header stores tile w/h mod 27 (one symbol each): larger dims
+        # cannot round-trip -- the reference's own 64x64 exemplar decodes
+        # as tile 10x10 and scrambles the stream (docs/DIVERGENCES.md #6b)
+        cfg = EncoderConfig(profile=ProfileID.P5_RS26_22_2D,
+                            tile=Tile2D(64, 64))
+        with pytest.raises(ValueError, match="tile"):
+            pipeline.encode_profile_from_raw(
+                jnp.asarray(make_raw_words(8)), cfg)
+        # 26x26 is the largest representable tile and round-trips
+        cfg = EncoderConfig(profile=ProfileID.P5_RS26_22_2D,
+                            tile=Tile2D(26, 26))
+        _prof, hdr = check_roundtrip(cfg, n_raw=700)
+        assert hdr.tile == Tile2D(26, 26)
+
     def test_beacon(self):
         cfg = EncoderConfig(beacon=SparseBeaconCfg(words_period=5, band_slot=3,
                                                    enabled=True))

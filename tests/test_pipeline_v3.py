@@ -35,6 +35,12 @@ CFGS = [
                   seed=ScramblerSeed(2, 1, 0)),
     EncoderConfig(profile=ProfileID.P3_RS26_20, uep=uep_uniform(2),
                   superframe_words=512, seed=ScramblerSeed(0, 2, 1)),
+    # P5 2D-interleave on the v3 stream branch (partial final tile -> the
+    # perm-take path; small tile -> many whole tiles)
+    EncoderConfig(profile=ProfileID.P5_RS26_22_2D, uep=uep_luma_priority(),
+                  tile=Tile2D(26, 26), superframe_words=512),
+    EncoderConfig(profile=ProfileID.P5_RS26_22_2D, uep=uep_uniform(1),
+                  tile=Tile2D(8, 4), superframe_words=300),
 ]
 
 
@@ -62,7 +68,7 @@ def test_encode_v3_bit_exact(ci):
 
 
 @pytest.mark.parametrize("ci", range(len(CFGS)))
-@pytest.mark.parametrize("rs_mode", ["check", "none"])
+@pytest.mark.parametrize("rs_mode", ["check", "none", "paged"])
 def test_decode_v3_bit_exact(ci, rs_mode):
     cfg = CFGS[ci]
     raw = _raw(cfg.superframe_words, seed=7 * ci)
@@ -77,8 +83,10 @@ def test_decode_v3_bit_exact(ci, rs_mode):
     assert pipeline_v3.decode_supported(dlay, rs_mode)
     body = jnp.asarray(w3[:, pipeline.HEADER_WORDS:])
     # corrupt a few cells in one variant to exercise the ok semantics
+    # (paged repairs the single-symbol damage and stays ok)
     bad = body.at[4, 100].set((body[4, 100] + 1) % 27)
-    for inp, want_clean in ((body, True), (bad, rs_mode == "none")):
+    want_bad_ok = rs_mode != "check"
+    for inp, want_clean in ((body, True), (bad, want_bad_ok)):
         pipeline._decode_body_fn.cache_clear()
         os.environ["T3_PIPE_V3"] = "0"
         try:
@@ -91,9 +99,64 @@ def test_decode_v3_bit_exact(ci, rs_mode):
         o3, k3 = pipeline._decode_body_fn(dlay, rs_mode, wire="planes")(inp)
         assert np.array_equal(o2, np.asarray(o3))
         assert k2 == bool(k3) == want_clean
-        if want_clean and rs_mode == "check":
+        if want_clean and rs_mode in ("check", "paged"):
             got = np.asarray(o3).T[:raw.shape[0]]
             assert np.array_equal(got, raw)
+
+
+@pytest.mark.parametrize("ci", [0, 4])
+def test_paged_v3_overflow_bit_exact(ci):
+    """Damage beyond the group's page capacity: the v3 paged repair must
+    make the SAME correction decisions as v2 (same page compaction order,
+    same capacity overflow handling), so outputs and ok match even when
+    repair fails."""
+    cfg = CFGS[ci]
+    raw = _raw(cfg.superframe_words, seed=31 * (ci + 1))
+    layout, w2, w3 = _enc_both(cfg, jnp.asarray(raw))
+    assert np.array_equal(w2, w3)
+    hdr = SuperframeHeader(profile=cfg.profile, uep=cfg.uep, tile=cfg.tile,
+                           seed=cfg.seed, beacon=cfg.beacon,
+                           subword=cfg.subword, centered=cfg.centered,
+                           coset=cfg.coset)
+    dlay = pipeline.build_decode_layout(
+        hdr, layout.total_words - pipeline.HEADER_WORDS)
+    body = np.asarray(w3[:, pipeline.HEADER_WORDS:])
+    H = body.shape[1]
+    cases = []
+    # within capacity but multi-page: 2 errors in far-apart blocks
+    v = body.copy()
+    for h in (0, H - 1):
+        v[3, h] = (v[3, h] + 1) % 27
+    cases.append(("two_pages", v, None))
+    # beyond per-block t: 5 corrupted symbols in ONE block (may miscorrect
+    # into another decode sphere -- README's documented RS bound -- so only
+    # parity with v2 is asserted, not the ok value)
+    v = body.copy()
+    for c in range(5):
+        v[5, c] = (v[5, c] + 1) % 27
+    cases.append(("beyond_t", v, None))
+    # page-capacity overflow: hit one block in every 16-block page of one
+    # band (npage pages dirty in the same band; C caps the group)
+    v = body.copy()
+    for h in range(0, H, 16 * 26):
+        v[1, h] = (v[1, h] + 1) % 27
+    cases.append(("many_pages", v, None))
+    for name, inp, want_ok in cases:
+        inp = jnp.asarray(inp)
+        pipeline._decode_body_fn.cache_clear()
+        os.environ["T3_PIPE_V3"] = "0"
+        try:
+            o2, k2 = pipeline._decode_body_fn(dlay, "paged",
+                                              wire="planes")(inp)
+            o2, k2 = np.asarray(o2), bool(k2)
+        finally:
+            os.environ["T3_PIPE_V3"] = "1"
+            pipeline._decode_body_fn.cache_clear()
+        o3, k3 = pipeline_v3.check_decode_fn_v3(dlay, "paged")(inp)
+        assert np.array_equal(o2, np.asarray(o3)), (name, cfg.profile)
+        assert k2 == bool(k3), (name, k2, bool(k3))
+        if want_ok is not None:
+            assert bool(k3) == want_ok, name
 
 
 @pytest.mark.parametrize("yord", ["p702", "blocks"])
@@ -201,19 +264,26 @@ def test_beacon_v3_bit_exact(ci):
 
 
 def test_v3_ineligible_configs_fall_back():
+    # P5 + beacon still falls back to v2 (the v3 stream branch has no
+    # beacon support); plain P5 and beacon configs are v3-eligible
+    p5b = EncoderConfig(profile=ProfileID.P5_RS26_22_2D, tile=Tile2D(8, 8),
+                        beacon=SparseBeaconCfg(words_period=7,
+                                               band_slot=2, enabled=True),
+                        superframe_words=256)
+    lay5b = pipeline.build_encode_layout(p5b, 256)
+    assert not pipeline_v3.encode_supported(lay5b)
     p5 = EncoderConfig(profile=ProfileID.P5_RS26_22_2D, tile=Tile2D(8, 8),
                        superframe_words=256)
     lay5 = pipeline.build_encode_layout(p5, 256)
-    assert not pipeline_v3.encode_supported(lay5)
-    # beacon configs are v3-eligible since round 2; repair modes are not
+    assert pipeline_v3.encode_supported(lay5)
     beacon = EncoderConfig(profile=ProfileID.P2_RS26_22,
                            beacon=SparseBeaconCfg(words_period=7,
                                                   band_slot=2, enabled=True),
                            superframe_words=256)
     lay = pipeline.build_encode_layout(beacon, 256)
     assert pipeline_v3.encode_supported(lay)
-    # roundtrip still works through the public API for both
-    for cfg in (beacon, p5):
+    # roundtrip still works through the public API for all three
+    for cfg in (beacon, p5, p5b):
         raw = _raw(200, seed=3)
         w = pipeline.encode_profile_from_raw(jnp.asarray(raw), cfg)
         out, _hdr, ok = pipeline.decode_profile_to_raw(w)
