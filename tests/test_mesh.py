@@ -143,6 +143,20 @@ class TestSuperframeDP:
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+class TestP5DP:
+    def test_p5_roundtrip_step_dp(self, mesh8):
+        """The 2D-interleaved profile (v3 stream branch) under frame-DP."""
+        from ternary_image_codec_tpu.config import Tile2D
+        cfg = EncoderConfig(profile=ProfileID.P5_RS26_22_2D,
+                            uep=uep_luma_priority(), tile=Tile2D(26, 26))
+        B, n_raw = 8, 150
+        frames = np.stack([make_raw_words(n_raw, seed=80 + i)
+                           for i in range(B)])
+        out, ok = M.roundtrip_step_dp(frames, cfg, mesh8)
+        assert bool(ok)
+        np.testing.assert_array_equal(np.asarray(out)[:, :n_raw], frames)
+
+
 class TestBeaconDP:
     def test_beacon_roundtrip_step_dp(self, mesh8):
         """The flagship beacon config (v3 beacon-splice path) under
