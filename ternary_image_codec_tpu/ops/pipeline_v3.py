@@ -159,17 +159,18 @@ def _extract_const(k: int):
 
 @functools.cache
 def _fold234_enc():
-    """W[(3 d, 234 t), (3 u, 3 v, 3 d', 26 i)] = 1 iff t == 9i + 3u + v
-    and d' == d: interleaved stream planes -> the blocked Y layout as ONE
-    contraction -- a transpose would materialize a (.., 3, 3)-minor
-    layout (the plane-major killer, docs/PERF.md)."""
-    W = np.zeros((3, 234, 3, 3, 3, 26), dtype=np.int8)
+    """W[(234 t), (3 u, 3 v, 26 i)] = 1 iff t == 9i + 3u + v: interleaved
+    stream planes -> the blocked Y layout as one permutation dot per digit
+    plane -- a transpose would materialize a (.., 3, 3)-minor layout (the
+    plane-major killer, docs/PERF.md).  Kept per-plane: the joint
+    ((3 d, 234 t) x (.., 3 d', ..)) single-dot form MISCOMPILES under
+    vmap on XLA:TPU (wrong Y values at batch > 1; bit-exact on CPU and at
+    batch 1 -- chip bisect 2026-08-18, docs/PERF.md)."""
+    W = np.zeros((234, 3, 3, 26), dtype=np.int8)
     for i in range(26):
         for u in range(3):
             for v in range(3):
-                t = 9 * i + 3 * u + v
-                for d in range(3):
-                    W[d, t, u, v, d, i] = 1
+                W[9 * i + 3 * u + v, u, v, i] = 1
     return W
 
 
@@ -368,11 +369,13 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
                 st = interleave.interleave(st[:, :L_out5],
                                            cfg.tile.w, cfg.tile.h)
                 st = jnp.pad(st, ((0, 0), (0, 234 * nblk7 - L_out5)))
-                Y = lax.dot_general(st.reshape(3, nblk7, 234),
-                                    jnp.asarray(_fold234_enc()),
-                                    (((0, 2), (0, 1)), ((), ())),
-                                    preferred_element_type=jnp.int32) \
-                    .astype(jnp.int8)                      # (n7, u, v, d, i)
+                st3 = st.reshape(3, nblk7, 234)
+                W2 = jnp.asarray(_fold234_enc())
+                Y = jnp.stack(
+                    [lax.dot_general(st3[d], W2, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+                     .astype(jnp.int8) for d in range(3)],
+                    axis=3)                                # (n7, u, v, d, i)
             else:
                 # block-major grid: Y (n7, 702) keeps the dot702 output in
                 # the layout the group contractions consume -- the v3 trace
@@ -724,10 +727,15 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
                                              hdr.tile.w, hdr.tile.h)
                 st = (jnp.pad(st, ((0, 0), (0, 234 * N7w - L_out5)))
                       if 234 * N7w > L_out5 else st[:, :234 * N7w])
-                wout5 = lax.dot_general(st.reshape(3, N7w, 234), U702,
-                                        (((0, 2), (0, 1)), ((), ())),
-                                        preferred_element_type=jnp.int32) \
-                    .astype(jnp.int8)                      # (N7w, 9, 27)
+                stw = st.reshape(3, N7w, 234)
+                # one dot per digit plane, summed: the joint
+                # ((3 d, 234 t)) contraction MISCOMPILES under vmap on
+                # XLA:TPU (see _fold234_enc)
+                wout5 = sum(
+                    lax.dot_general(stw[d], U702[d],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+                    for d in range(3)).astype(jnp.int8)    # (N7w, 9, 27)
                 out_T = wout5.transpose(1, 0, 2) \
                     .reshape(NUM_BANDS, N7w * 27)[:, :n_out]
                 return out_T, ok
