@@ -1054,7 +1054,14 @@ def _decode_body_fn(layout: DecodeLayout, rs_mode: str = "paged",
         return _decode_body_fn_cm(layout, rs_mode, wire)
     if os.environ.get("T3_PIPE_V3", "1") == "1":
         from . import pipeline_v3
-        if pipeline_v3.decode_supported(layout, rs_mode):
+        # paged repair stays on the v2 machinery by default: the v3 paged
+        # path is bit-exact (tests/test_pipeline_v3.py) but measured
+        # SLOWER on the chip dirty-stream bench (27.0 vs ~28.9 dirty fps,
+        # docs/PERF.md); T3_PAGED_V3=1 selects it for A/B
+        v3_ok = pipeline_v3.decode_supported(layout, rs_mode) and (
+            rs_mode != "paged"
+            or os.environ.get("T3_PAGED_V3", "0") == "1")
+        if v3_ok:
             fn3 = pipeline_v3.check_decode_fn_v3(layout, rs_mode)
 
             def fnv(body):
