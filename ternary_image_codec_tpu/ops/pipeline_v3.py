@@ -203,6 +203,81 @@ def _stream_const():
     return V
 
 
+def _fuse_ok(w: int, h: int) -> bool:
+    """Snake-composed P5 fast path eligibility: the boustrophedon rows must
+    not cross 234-symbol block boundaries (w | 234) and the per-block flip
+    pattern must depend on at most the block PARITY (h even; h == 1 is the
+    no-flip identity).  Row R = s // w flips iff (R mod h) is odd; for even
+    h that is just R odd, and R = (234/w)*n7 + t//w, so the within-block
+    permutation is one of two constants chosen by n7 parity (a single
+    constant when 234/w is even)."""
+    return w >= 1 and 234 % w == 0 and (h == 1 or h % 2 == 0)
+
+
+@functools.cache
+def _tau234(w: int, h: int, par: int) -> np.ndarray:
+    """Within-block composed snake: interleaved position t (in a block of
+    parity `par`) reads pre-interleave position tau[t].  Involution."""
+    t = np.arange(234)
+    if h == 1:
+        return t
+    q = 234 // w
+    rho, c = np.divmod(t, w)
+    flip = ((q % 2) * par + rho) % 2 == 1
+    return np.where(flip, w * rho + (w - 1) - c, t)
+
+
+@functools.cache
+def _fuse_enc_const(w: int, h: int) -> np.ndarray:
+    """VC[(2 half), (27 row, 27 wloc), (3 u, 3 v, 3 d, 26 i)]: word digit
+    planes (one 27-word half of a paired 54-word block) -> the
+    snake-interleaved blocked Y layout, i.e. _stream_const with the
+    composed within-block snake _tau234 folded into its stream index and
+    the _fold234_enc regrouping folded into its output axes.  Replaces the
+    stream materialization + transpose + interleave flip/where + pad +
+    fold dots of the v3 P5 stream branch with one contraction per half.
+
+    Per-half layout (NOT one (27, 54)-contraction): a joint (27, 54) int8
+    contraction MISCOMPILES under vmap on XLA:TPU (chip bisect 2026-08-19:
+    4.2M wrong wire cells at batch 128, bit-exact at batch 1 and on CPU);
+    the per-half (27 row, 27 wloc) joint shape is the V702 dot's, proven
+    on chip (docs/PERF.md "XLA:TPU miscompile")."""
+    V = np.asarray(_stream_const())                    # (27, 27, 3, 234)
+    VC = np.zeros((2, 27, 27, 3, 3, 3, 26), dtype=np.int8)
+    for half in range(2):
+        tau = _tau234(w, h, half)
+        for t in range(234):
+            i, r9 = divmod(t, 9)
+            u, v = divmod(r9, 3)
+            VC[half, :, :, u, v, :, i] = V[:, :, :, tau[t]]
+    return VC
+
+
+@functools.cache
+def _fuse_dec_const(w: int, h: int) -> np.ndarray:
+    """CU[(2 half), (3 u, 3 v, 3 d, 26 i) = 702, (9 b, 27 w)]: blocked data
+    grid -> RAW words, i.e. v2's _stream702 with the composed snake folded
+    into its stream index (the deinterleave is the same involution) -- the
+    decode-side mirror of _fuse_enc_const, replacing fold_dec + the
+    deinterleave pass + the word-rebuild dots.
+
+    The (u, v, d, c) axes are pre-flattened to ONE 702 contraction dim
+    (consumed against a (B, u, v, d, c)-transposed grid): joint
+    (3, 3, 26) int8 contractions MISCOMPILE under vmap on XLA:TPU (chip
+    bisect 2026-08-19); a single non-trivial contracting dim is the
+    documented safe shape (docs/PERF.md "XLA:TPU miscompile")."""
+    from . import pipeline as pl
+    U = np.asarray(pl._stream702()).reshape(3, 234, NUM_BANDS, 27)
+    CU = np.zeros((2, 3, 3, 3, 26, NUM_BANDS, 27), dtype=np.int8)
+    for half in range(2):
+        tau = _tau234(w, h, half)
+        for t in range(234):
+            i, r9 = divmod(t, 9)
+            u, v = divmod(r9, 3)
+            CU[half, u, v, :, i] = U[:, tau[t]]
+    return CU.reshape(2, 702, NUM_BANDS, 27)
+
+
 def _np_pat(seed) -> np.ndarray:
     """Scrambler period-6 offset pattern (cell t uses pat[t % 6])."""
     return scramble.np_offsets(6, seed.a, seed.b, seed.s0)
@@ -276,6 +351,10 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
     P702 = pl._pack702_dm()
     hdrT = np.asarray(layout.header_words.T, dtype=np.int8)
     p5 = pl._is_p5(cfg.profile, cfg.tile)
+    p5_fuse = (p5 and _fuse_ok(cfg.tile.w, cfg.tile.h)
+               and os.environ.get("T3_P5_FUSE", "1") == "1")
+    if p5_fuse:
+        nblk7 += nblk7 & 1          # paired 54-word blocks for the fused dot
     if p5:
         # decoder-visible stream length; both sides permute at this length
         # (see _encode_parts_cm for the derivation).  L_out5 <= 234*nblk7:
@@ -286,6 +365,19 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
         L_out5 = int(min(NUM_BANDS * dlens5[b] + b for b in range(NUM_BANDS)))
         assert L_out5 <= 234 * nblk7
         V702 = jnp.asarray(_stream_const())
+    if p5_fuse:
+        # snake-composed fast path geometry: blocks < B0_5 come straight
+        # from the fused dot (whole tiles only); blocks [B0_5, WE_5) are
+        # rebuilt from the stream segment [T0_5, L_out5) (the containing
+        # tile boundary) via the stream branch's machinery; blocks >= WE_5
+        # are the zero pad past the stream end.
+        A5 = cfg.tile.w * cfg.tile.h
+        nfull5 = (L_out5 // A5) * A5
+        B0_5 = nfull5 // 234
+        WE_5 = -(-L_out5 // 234)
+        T0_5 = (234 * B0_5 // A5) * A5
+        W0_5 = T0_5 // 234
+        VCj = jnp.asarray(_fuse_enc_const(cfg.tile.w, cfg.tile.h))
     # the beacon and P5 paths are built on the block-major grid only
     yord = ("blocks" if b0 >= 0 or p5
             else os.environ.get("T3_V3_YORD", "blocks"))
@@ -356,7 +448,47 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
         X3 = pl_dig.reshape(27, nblk7, 27)
         parts = []
         if yord == "blocks":
-            if p5:
+            if p5_fuse:
+                # snake-composed P5: one contraction PER BLOCK-PAIR HALF
+                # from the word digit planes straight to the interleaved
+                # blocked Y (the within-block snake rides the per-half
+                # constant, _fuse_ok); only the final partial tile /
+                # stream-end blocks are rebuilt through the stream
+                # machinery on a tiny segment.  Each dot is the V702
+                # (27 row, 27 wloc)-joint shape -- the single (27, 54)
+                # form miscompiles under vmap (_fuse_enc_const).
+                X4 = pl_dig.reshape(27, nblk7 // 2, 2, 27)
+                Ym = jnp.stack(
+                    [lax.dot_general(X4[:, :, hf], VCj[hf],
+                                     (((0, 2), (0, 1)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+                     for hf in range(2)], axis=1)
+                Ym = Ym.astype(jnp.int8).reshape(nblk7, 3, 3, 3, 26)
+                py = [Ym[:B0_5]] if B0_5 else []
+                if WE_5 > B0_5:
+                    st = lax.dot_general(X3[:, W0_5:WE_5], V702,
+                                         (((0, 2), (0, 1)), ((), ())),
+                                         preferred_element_type=jnp.int32)
+                    st = st.astype(jnp.int8).transpose(1, 0, 2) \
+                        .reshape(3, (WE_5 - W0_5) * 234)
+                    st = st[:, T0_5 - 234 * W0_5:L_out5 - 234 * W0_5]
+                    il = interleave.interleave(st, cfg.tile.w, cfg.tile.h)
+                    suf = il[:, 234 * B0_5 - T0_5:]
+                    suf = jnp.pad(
+                        suf,
+                        ((0, 0), (0, 234 * (WE_5 - B0_5) - suf.shape[1])))
+                    suf3 = suf.reshape(3, WE_5 - B0_5, 234)
+                    W2 = jnp.asarray(_fold234_enc())
+                    py.append(jnp.stack(
+                        [lax.dot_general(suf3[d], W2,
+                                         (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.int32)
+                         .astype(jnp.int8) for d in range(3)], axis=3))
+                if WE_5 < nblk7:
+                    py.append(jnp.zeros((nblk7 - WE_5, 3, 3, 3, 26),
+                                        jnp.int8))
+                Y = jnp.concatenate(py, axis=0) if len(py) > 1 else py[0]
+            elif p5:
                 # P5: extract the symbol stream planes (one 702-period
                 # permutation dot), interleave on (3, L) (whole tiles are
                 # a reshape+row-flip, ops/interleave.py), then fold the
@@ -538,6 +670,22 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
         # v2's P5 assembly constant, (9 r, 27 w)-shaped for the blocked dot
         U702 = jnp.asarray(
             np.asarray(pl._stream702()).reshape(3, 234, NUM_BANDS, 27))
+    p5_fuse = (p5 and _fuse_ok(hdr.tile.w, hdr.tile.h)
+               and os.environ.get("T3_P5_FUSE", "1") == "1")
+    # the fused dot consumes block PAIRS: pad the grid to an even block
+    # count (the extra block is zero stream tail, never read back)
+    MBa = MB + (MB & 1) if p5_fuse else MB
+    if p5_fuse:
+        A5 = hdr.tile.w * hdr.tile.h
+        nfull5 = (L_out5 // A5) * A5
+        B0_5 = nfull5 // 234
+        WE_5 = -(-L_out5 // 234)
+        T0_5 = (234 * B0_5 // A5) * A5
+        W0_5 = T0_5 // 234
+        CUj = jnp.asarray(_fuse_dec_const(hdr.tile.w, hdr.tile.h))
+        # single-plane (u,v,c) -> t fold for the tail segment (the d axis
+        # of _fold234_dec is identical planes; it rides the flattened rows)
+        F2j = jnp.asarray(np.asarray(_fold234_dec())[0].reshape(234, 234))
     # the beacon, P5, and paged paths are built on the blocked assembly only
     asm = ("blk" if b0 >= 0 or p5 or rs_mode == "paged"
            else os.environ.get("T3_V3_ASM", "blk"))
@@ -606,9 +754,9 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
                 # merge only (M, Lk) -> grid block B = m*Lk + J; the 26
                 # stays a separate axis end-to-end (no flatten/re-split)
                 pf = pg.reshape(3, 3, hi - lo, M * Lk, 26)
-                pf = (pf[:, :, :, :MB] if M * Lk >= MB
+                pf = (pf[:, :, :, :MBa] if M * Lk >= MBa
                       else jnp.pad(pf, ((0, 0),) * 3
-                                   + ((0, MB - M * Lk), (0, 0))))
+                                   + ((0, MBa - M * Lk), (0, 0))))
                 if rs_mode == "paged":
                     # page-compacted correction on the blocked grid,
                     # replicating _decode_body_fn's v2 paged machinery
@@ -667,8 +815,8 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
                     # dropped like v2's [:nblk_u] stream truncation
                     dstream = jnp.pad(
                         delta[:, :, :nblk_u * k],
-                        ((0, 0), (0, 0), (0, MB * 26 - nblk_u * k)))
-                    dpf = dstream.reshape(3, gv, 3, MB, 26) \
+                        ((0, 0), (0, 0), (0, MBa * 26 - nblk_u * k)))
+                    dpf = dstream.reshape(3, gv, 3, MBa, 26) \
                         .transpose(2, 0, 1, 3, 4)          # (d, u, v, MB, c)
                     pf = _m3i(pf + dpf)
             else:
@@ -715,6 +863,54 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
                 else:
                     pf0 = jnp.zeros((3, MB, 26), dtype=jnp.int8)
                 M5 = M5.at[:, u0, v0].set(pf0)
+            if p5_fuse:
+                # snake-composed P5: one single-702-contraction dot per
+                # block-pair half from the (B, u, v, d, c)-transposed data
+                # grid straight to RAW words -- the deinterleave is folded
+                # into CUj (_fuse_dec_const); the final partial tile /
+                # stream-end word blocks are rebuilt through the stream
+                # machinery on a tiny grid segment.  Joint (3, 3, 26)
+                # contractions miscompile under vmap (_fuse_dec_const);
+                # one grid transpose buys the safe single-dim shape.
+                M5g = M5.transpose(3, 1, 2, 0, 4)      # (B, u, v, d, c)
+                M5t = M5g.reshape(MBa // 2, 2, 702)
+                wm = jnp.stack(
+                    [lax.dot_general(M5t[:, hf], CUj[hf],
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+                     for hf in range(2)])              # (2, MBa/2, 9, 27)
+                outs_w = []
+                nb_main = min(B0_5, N7w)
+                if nb_main:
+                    main_T = wm.astype(jnp.int8).transpose(2, 1, 0, 3) \
+                        .reshape(NUM_BANDS, MBa * 27)
+                    outs_w.append(main_T[:, :27 * nb_main])
+                if N7w > B0_5:
+                    Msg = M5g[W0_5:WE_5].transpose(3, 0, 1, 2, 4) \
+                        .reshape(3 * (WE_5 - W0_5), 234)
+                    seg = lax.dot_general(
+                        Msg, F2j, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32) \
+                        .astype(jnp.int8).reshape(3, (WE_5 - W0_5) * 234)
+                    seg = seg[:, T0_5 - 234 * W0_5:L_out5 - 234 * W0_5]
+                    sde = interleave.deinterleave(seg, hdr.tile.w,
+                                                  hdr.tile.h)
+                    suf = sde[:, 234 * B0_5 - T0_5:]
+                    TL5 = 234 * (N7w - B0_5)
+                    suf = (suf[:, :TL5] if suf.shape[1] >= TL5
+                           else jnp.pad(suf,
+                                        ((0, 0), (0, TL5 - suf.shape[1]))))
+                    stw = suf.reshape(3, N7w - B0_5, 234)
+                    wt = sum(
+                        lax.dot_general(stw[d], U702[d],
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.int32)
+                        for d in range(3)).astype(jnp.int8)
+                    outs_w.append(wt.transpose(1, 0, 2)
+                                  .reshape(NUM_BANDS, (N7w - B0_5) * 27))
+                out_T = (jnp.concatenate(outs_w, axis=1)
+                         if len(outs_w) > 1 else outs_w[0])[:, :n_out]
+                return out_T, ok
             if p5:
                 # P5: unfold the data grid back to stream planes (index
                 # 234*n7 + 9i + 3u + v), deinterleave on (3, L), rebuild

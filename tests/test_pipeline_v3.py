@@ -35,12 +35,26 @@ CFGS = [
                   seed=ScramblerSeed(2, 1, 0)),
     EncoderConfig(profile=ProfileID.P3_RS26_20, uep=uep_uniform(2),
                   superframe_words=512, seed=ScramblerSeed(0, 2, 1)),
-    # P5 2D-interleave on the v3 stream branch (partial final tile -> the
-    # perm-take path; small tile -> many whole tiles)
+    # P5 2D-interleave: 26x26 takes the snake-composed fused path with
+    # 234/w = 9 odd (parity-pair constants); 8x4 has w not dividing 234 ->
+    # the v3 stream branch (partial final tile -> the perm-take path)
     EncoderConfig(profile=ProfileID.P5_RS26_22_2D, uep=uep_luma_priority(),
                   tile=Tile2D(26, 26), superframe_words=512),
     EncoderConfig(profile=ProfileID.P5_RS26_22_2D, uep=uep_uniform(1),
                   tile=Tile2D(8, 4), superframe_words=300),
+    # fused path, 234/w = 18 even (single within-block pattern)
+    EncoderConfig(profile=ProfileID.P5_RS26_22_2D, uep=uep_uniform(1),
+                  tile=Tile2D(13, 4), superframe_words=512),
+    # fused path, 234/w = 13 odd + the smallest even h
+    EncoderConfig(profile=ProfileID.P5_RS26_22_2D, uep=uep_luma_priority(),
+                  tile=Tile2D(18, 2), superframe_words=300),
+    # fused path, h == 1 (the snake is the identity)
+    EncoderConfig(profile=ProfileID.P5_RS26_22_2D, uep=uep_uniform(1),
+                  tile=Tile2D(6, 1), superframe_words=512),
+    # h odd > 1: flip pattern depends on R mod h -> NOT fuse-eligible,
+    # stays on the stream branch even though w | 234
+    EncoderConfig(profile=ProfileID.P5_RS26_22_2D, uep=uep_luma_priority(),
+                  tile=Tile2D(26, 5), superframe_words=300),
 ]
 
 
@@ -104,7 +118,41 @@ def test_decode_v3_bit_exact(ci, rs_mode):
             assert np.array_equal(got, raw)
 
 
-@pytest.mark.parametrize("ci", [0, 4])
+@pytest.mark.parametrize("ci", [4, 6, 7, 8])
+def test_p5_fuse_knob_bit_exact(ci):
+    """T3_P5_FUSE=0 forces the v3 stream branch; the snake-composed fused
+    default must produce identical wire AND decoded bytes (the fused
+    constants, pair geometry, and tail fix-up are pure restructures)."""
+    cfg = CFGS[ci]
+    from ternary_image_codec_tpu.ops import pipeline_v3
+    for n in (cfg.superframe_words, 233, 26):
+        raw = jnp.asarray(_raw(n, seed=n + 17 * ci))
+        layout = pipeline.build_encode_layout(cfg, n)
+        assert pipeline_v3.encode_supported(layout)
+        os.environ["T3_P5_FUSE"] = "0"
+        pipeline_v3.encode_fn_v3.cache_clear()
+        pipeline_v3.check_decode_fn_v3.cache_clear()
+        try:
+            ws = np.asarray(pipeline_v3.encode_fn_v3(layout)(raw))
+        finally:
+            os.environ.pop("T3_P5_FUSE", None)
+            pipeline_v3.encode_fn_v3.cache_clear()
+            pipeline_v3.check_decode_fn_v3.cache_clear()
+        wf = np.asarray(pipeline_v3.encode_fn_v3(layout)(raw))
+        assert np.array_equal(ws, wf), (cfg.tile, n)
+        hdr = SuperframeHeader(profile=cfg.profile, uep=cfg.uep,
+                               tile=cfg.tile, seed=cfg.seed,
+                               beacon=cfg.beacon, subword=cfg.subword,
+                               centered=cfg.centered, coset=cfg.coset)
+        dlay = pipeline.build_decode_layout(
+            hdr, layout.total_words - pipeline.HEADER_WORDS)
+        body = jnp.asarray(wf[:, pipeline.HEADER_WORDS:])
+        o, k = pipeline_v3.check_decode_fn_v3(dlay, "check")(body)
+        assert bool(k)
+        assert np.array_equal(np.asarray(o).T[:n], np.asarray(raw))
+
+
+@pytest.mark.parametrize("ci", [0, 4, 7])
 def test_paged_v3_overflow_bit_exact(ci):
     """Damage beyond the group's page capacity: the v3 paged repair must
     make the SAME correction decisions as v2 (same page compaction order,
