@@ -11,8 +11,11 @@ the TPU-native scaling story is:
 * Stream sharding (the long-sequence analog): one huge frame's word stream
   is sharded over `data`; elementwise trit math stays local, and XLA inserts
   the boundary collectives for the few reshape/permute stages.
+* Pipeline parallelism (roundtrip_pipeline_pp): the codec stages split
+  across a 2-stage mesh axis, microbatches handed off via lax.ppermute
+  under shard_map, composing with DP within each stage.
 
-Both paths are exercised on a virtual CPU mesh in tests and by
+All paths are exercised on a virtual CPU mesh in tests and by
 __graft_entry__.dryrun_multichip.
 """
 from __future__ import annotations
@@ -169,6 +172,110 @@ def roundtrip_superframes_dp(raw_words, cfg: EncoderConfig, mesh: Mesh,
     out, ok = step(chunks)
     raw_out = out[:, :sf, :].reshape(-1, 9)[:n]
     return raw_out, ok
+
+
+def make_mesh_pp(n_devices: int | None = None,
+                 stage_axis: str = "stage", data_axis: str = "data") -> Mesh:
+    """2D (stage=2, data=n/2) mesh for pipeline x data parallelism."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    assert n % 2 == 0, "PP mesh needs an even device count"
+    return Mesh(np.array(devs[:n]).reshape(2, n // 2), (stage_axis, data_axis))
+
+
+def roundtrip_pipeline_pp(raw_frames, cfg: EncoderConfig, mesh: Mesh,
+                          stage_axis: str = "stage", data_axis: str = "data"):
+    """Two-stage pipeline parallelism over the codec stages (GPipe-style).
+
+    Stage 0 of the mesh encodes microbatch t while stage 1 decodes
+    microbatch t-1; the in-flight wire words cross ICI via
+    `lax.ppermute` each step (the TPU idiom for a stage handoff -- the
+    reference is single-threaded, SURVEY.md section 2.8, so this is the
+    from-scratch scaling design, not a port).  Within each stage the
+    frame axis is data-parallel over `data_axis`.
+
+    For this stateless codec plain frame-DP usually wins (both stages
+    have identical cost); PP is the right split when the two halves
+    must live on different chips -- e.g. encode on ingest-attached
+    chips and verify/decode on storage-attached chips, or when one
+    stage's working set alone fills a chip's HBM.  The structure here
+    (lax.scan over microbatches + ppermute handoff + psum delivery) is
+    the reusable pattern either way.
+
+    raw_frames: (T, db, n_raw, 9) int8 -- T microbatches of db frames;
+    db must divide by the data-axis size.  Returns (decoded
+    (T, db, n_out, 9), ok (T, db)) with n_out >= n_raw (RS-block
+    padding; slice [:n_raw] for payload).
+    """
+    from jax import shard_map
+    from ..config import SuperframeHeader
+    from jax import lax
+    T, db, n_raw, _ = raw_frames.shape
+    ndata = mesh.shape[data_axis]
+    assert db % ndata == 0, "microbatch size must divide the data axis"
+    dbl = db // ndata
+    enc_layout = pipeline.build_encode_layout(cfg, n_raw)
+    enc_one = pipeline._encode_fn(enc_layout)
+    sf_hdr = SuperframeHeader(profile=cfg.profile, uep=cfg.uep, tile=cfg.tile,
+                              seed=cfg.seed, beacon=cfg.beacon,
+                              subword=cfg.subword, centered=cfg.centered,
+                              coset=cfg.coset)
+    dec_layout = pipeline.build_decode_layout(
+        sf_hdr, enc_layout.total_words - pipeline.HEADER_WORDS)
+    dec_one = pipeline._decode_body_fn(dec_layout)
+    total, n_out = enc_layout.total_words, dec_layout.n_out_words
+
+    def stage_prog(frames):            # local: (T+1, dbl, n_raw, 9)
+        sid = lax.axis_index(stage_axis)
+        # constants and per-stage branch outputs must agree on
+        # varying-manual-axes (shard_map's cond type check): everything in
+        # the loop is varying over BOTH mesh axes
+        vary = functools.partial(lax.pcast, to="varying")
+        zero_wire = vary(jnp.zeros((dbl, total, 9), jnp.int8),
+                         (stage_axis, data_axis))
+
+        def body(inflight, f_t):
+            # encode this step's microbatch (stage 0 only -- the cond is
+            # a real HLO conditional, stage 1 skips the encode compute)
+            wire = lax.cond(
+                sid == 0,
+                # enc output inherits f_t's data-varying; add stage
+                lambda x: vary(jax.vmap(enc_one)(x), (stage_axis,)),
+                lambda x: zero_wire, f_t)
+            # stage handoff over ICI; stage 0 receives zeros (no edge in)
+            recv = lax.ppermute(wire, stage_axis, [(0, 1)])
+            # decode LAST step's handoff (stage 1 only)
+            zero_out = (vary(jnp.zeros((dbl, n_out, 9), jnp.int8),
+                             (stage_axis, data_axis)),
+                        vary(jnp.zeros((dbl,), bool),
+                             (stage_axis, data_axis)))
+            out, ok = lax.cond(
+                sid == 1,
+                # dec output inherits the carry's both-axes varying
+                lambda w: jax.vmap(
+                    lambda p: dec_one(p[pipeline.HEADER_WORDS:]))(w),
+                lambda w: zero_out, inflight)
+            return recv, (out, ok)
+
+        _, (outs, oks) = lax.scan(body, zero_wire, frames)
+        # stage 1 decodes microbatch t at step t+1; drop the warmup step
+        # and deliver stage 1's results to both stages (psum: stage 0
+        # contributed zeros, so the sum IS stage 1's value)
+        outs = lax.psum(outs[1:].astype(jnp.int32), stage_axis) \
+            .astype(jnp.int8)
+        oks = lax.psum(oks[1:].astype(jnp.int32), stage_axis) > 0
+        return outs, oks
+
+    spec_in = PSpec(None, data_axis, None, None)
+    run = jax.jit(shard_map(
+        stage_prog, mesh=mesh, in_specs=spec_in,
+        out_specs=(PSpec(None, data_axis, None, None),
+                   PSpec(None, data_axis))))
+    # one drain step so the last microbatch's decode lands
+    frames = jnp.concatenate(
+        [jnp.asarray(raw_frames),
+         jnp.zeros((1, db, n_raw, 9), jnp.int8)], axis=0)
+    return run(frames)
 
 
 def encode_stream_sharded(raw_words, cfg: EncoderConfig, mesh: Mesh):
