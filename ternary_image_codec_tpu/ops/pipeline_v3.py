@@ -144,6 +144,23 @@ def _parity_const(k: int):
 
 
 @functools.cache
+def _parity_data_const(k: int):
+    """A_k[3 d_in][(k c), (3 d_out, r c')]: the GF(3)-lifted RS(26,k)
+    parity generator alone (no grid extraction) -- parity digits are
+    GF(3)-linear in the UNSCRAMBLED data digits, so they can be computed
+    from the data dot's output instead of a second (26*Lk*3)-length grid
+    contraction (T3_V3_PAR=data).  Kept as one (k)-contraction constant
+    per input digit plane: a joint (3, k) contraction is the
+    tiny+large-pair shape that MISCOMPILES under vmap on XLA:TPU
+    (docs/PERF.md "XLA:TPU miscompile")."""
+    r = rs.N - k
+    G2 = rs._matrices_pm(k)["G2"]                       # (78, 3, k)
+    Gp = np.asarray(G2).reshape(3, rs.N, 3, k)[:, k:]   # (d_out, c', d_in, c)
+    return np.ascontiguousarray(
+        Gp.transpose(2, 3, 0, 1)).astype(np.int8)       # (d_in, c, d_out, c')
+
+
+@functools.cache
 def _extract_const(k: int):
     """E_k[(13 j, 26 c), (Lk J, 26 i)] = 1 iff c < k and j*k + c == 26*J + i
     (decode-side D_k transpose with the systematic c<k selection folded in,
@@ -381,6 +398,23 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
     # the beacon and P5 paths are built on the block-major grid only
     yord = ("blocks" if b0 >= 0 or p5
             else os.environ.get("T3_V3_YORD", "blocks"))
+    # per-group Y dots (default): chip A/B 39.40 -> 40.83 fps alone,
+    # 42.37 combined with par_data (docs/PERF.md round-2 ledger)
+    ysplit = (not p5 and yord == "blocks"
+              and os.environ.get("T3_V3_YSPLIT", "1") == "1")
+    # parity from the data words (default): three k-length dots on the
+    # data dot's output instead of the second grid contraction + the Yg
+    # relayout copy XLA inserts for it; chip A/B 39.40 -> 41.16 alone
+    par_data = (yord == "blocks"
+                and os.environ.get("T3_V3_PAR", "data") == "data")
+    if ysplit:
+        P6 = np.ascontiguousarray(
+            np.asarray(P702).reshape(3, 3, 3, 26, 27, 27))
+        Pg_split = {(lo, hi): jnp.asarray(
+            P6[:, lo:hi].reshape(-1, 27, 27), dtype=jnp.int8)
+            for _k, lo, hi in groups}
+        Pg_b0 = (jnp.asarray(P6[b0 // 3, b0 % 3].reshape(-1, 27, 27),
+                             dtype=jnp.int8) if b0 >= 0 else None)
     # T3_V3_DOTF=1: the mod-3 reduction dots accumulate in f32 directly
     # (exact: sums <= ~600 << 2^24), skipping the s32->f32 convert pass
     # before fmod3 (chip A/B knob)
@@ -390,10 +424,18 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
     consts = []
     for k, lo, hi in groups:
         gv = hi - lo
+        # parity-from-data only for r = 26-k >= 4: the k=24 (r=2) data-path
+        # parity dot MISCOMPILES on XLA:TPU when combined with the ysplit
+        # group dots (chip bisect 2026-08-19, tools/chip_v3_verify.py:
+        # wrong parity cells at vmap batch 4+, bit-exact on CPU and with
+        # either knob alone; k=22/20 are chip-clean) -- k=24 keeps the
+        # proven grid contraction
+        pd_k = par_data and rs.N - k >= 4
         consts.append((
-            k, lo, hi,
+            k, lo, hi, pd_k,
             jnp.asarray(_tile_batch(_data_const(k), gv)),
-            jnp.asarray(_tile_batch(_parity_const(k), gv)),
+            (jnp.asarray(_parity_data_const(k)) if pd_k
+             else jnp.asarray(_tile_batch(_parity_const(k), gv))),
             jnp.asarray(_off_data(cfg.seed, k, lo, hi)),
             jnp.asarray(_off_parity(cfg.seed, k, lo, hi)),
         ))
@@ -508,6 +550,26 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
                                      preferred_element_type=jnp.int32)
                      .astype(jnp.int8) for d in range(3)],
                     axis=3)                                # (n7, u, v, d, i)
+            elif ysplit:
+                # T3_V3_YSPLIT=1: one dot PER GROUP against a pre-sliced
+                # P702 (the group's v-range of the 702 output axis) so no
+                # full (n7, 702) grid ever materializes -- an A/B against
+                # the relayout copy XLA still inserts between the single
+                # big dot and the group slices (copy.96, ~65 ms / 48
+                # frames in the 2026-08-19 trace)
+                Yg_all = {}
+                for (lo_g, hi_g), Pg in Pg_split.items():
+                    Yg = lax.dot_general(X3, Pg,
+                                         (((0, 2), (1, 2)), ((), ())),
+                                         preferred_element_type=jnp.int32)
+                    Yg_all[(lo_g, hi_g)] = Yg.astype(jnp.int8) \
+                        .reshape(nblk7, 3, hi_g - lo_g, 3, 26)
+                if b0 >= 0 and blocks0:
+                    Yb0 = lax.dot_general(X3, Pg_b0,
+                                          (((0, 2), (1, 2)), ((), ())),
+                                          preferred_element_type=jnp.int32)
+                    Yb0 = Yb0.astype(jnp.int8).reshape(nblk7, 3, 26)
+                Y = None
             else:
                 # block-major grid: Y (n7, 702) keeps the dot702 output in
                 # the layout the group contractions consume -- the v3 trace
@@ -518,10 +580,11 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
                                     (((0, 2), (1, 2)), ((), ())),
                                     preferred_element_type=jnp.int32)
                 Y = Y.astype(jnp.int8).reshape(nblk7, 3, 3, 3, 26)
-            for k, lo, hi, Dk, Pk, offD, offP in consts:
+            for k, lo, hi, pd_k, Dk, Pk, offD, offP in consts:
                 Lk = k // 2
                 Bk = Lk * M
-                Yg = Y[:, :, lo:hi]                    # (n7, 3, gv, 3, 26)
+                Yg = (Yg_all[(lo, hi)] if ysplit
+                      else Y[:, :, lo:hi])             # (n7, 3, gv, 3, 26)
                 Yg = (jnp.pad(Yg, ((0, Bk - nblk7),) + ((0, 0),) * 4)
                       if Bk > nblk7 else Yg[:Bk])
                 Yg = Yg.reshape(M, Lk, 3, hi - lo, 3, 26)
@@ -532,17 +595,36 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
                 sd = fmod3(data.astype(jnp.float32)
                            + offD.swapaxes(2, 3)).astype(jnp.int8)
                 wd = sd[:, :, :, 0] + 3 * sd[:, :, :, 1] + 9 * sd[:, :, :, 2]
-                # parity: (3u, gv, M, 3d', 13, r)
-                par = lax.dot_general(Yg, Pk,
-                                      (((1, 4, 5), (4, 2, 3)), ((2, 3), (0, 1))),
-                                      preferred_element_type=PT)
-                sp = fmod3(par.astype(jnp.float32) + offP).astype(jnp.int8)
-                wp = sp[:, :, :, 0] + 3 * sp[:, :, :, 1] + 9 * sp[:, :, :, 2]
+                if pd_k:
+                    # unscrambled data digits: D_k is a permutation, so
+                    # the data dot's output already IS the trit (0..2)
+                    ud = data.astype(jnp.int8)
+                    # parity: (3u, gv, M, 13, 3d', r) -- one k-contraction
+                    # per input digit plane (safe dot shape), summed
+                    par = sum(
+                        lax.dot_general(ud[:, :, :, d], Pk[d],
+                                        (((4,), (0,)), ((), ())),
+                                        preferred_element_type=PT)
+                        for d in range(3))
+                    sp = fmod3(par.astype(jnp.float32)
+                               + offP.transpose(0, 1, 2, 4, 3, 5)) \
+                        .astype(jnp.int8)
+                    wp = (sp[..., 0, :] + 3 * sp[..., 1, :]
+                          + 9 * sp[..., 2, :])
+                else:
+                    # parity: (3u, gv, M, 3d', 13, r)
+                    par = lax.dot_general(
+                        Yg, Pk, (((1, 4, 5), (4, 2, 3)), ((2, 3), (0, 1))),
+                        preferred_element_type=PT)
+                    sp = fmod3(par.astype(jnp.float32)
+                               + offP).astype(jnp.int8)
+                    wp = (sp[:, :, :, 0] + 3 * sp[:, :, :, 1]
+                          + 9 * sp[:, :, :, 2])
                 parts.append(jnp.concatenate([wd, wp], axis=-1))
             body = jnp.concatenate(parts, axis=1)      # (3, 3, M, 13, 26)
             if b0 >= 0:
                 if blocks0:
-                    Yg0 = Y[:, u0, v0]                 # (n7, 3, 26)
+                    Yg0 = Yb0 if ysplit else Y[:, u0, v0]  # (n7, 3, 26)
                     Yg0 = (jnp.pad(Yg0, ((0, Bk0 - nblk7), (0, 0), (0, 0)))
                            if Bk0 > nblk7 else Yg0[:Bk0])
                     Yg0 = Yg0.reshape(M0, Lk0, 3, 26)
@@ -575,7 +657,7 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
                             (((1, 2), (0, 2)), ((), ())),
                             preferred_element_type=jnp.int32)  # (702, nblk7)
         Y = Y.astype(jnp.int8).reshape(3, 3, 3, 26, nblk7)   # (u, v, d, i, n7)
-        for k, lo, hi, Dk, Pk, offD, offP in consts:
+        for k, lo, hi, _pd_k, Dk, Pk, offD, offP in consts:
             Lk = k // 2
             Bk = Lk * M
             Yg = Y[:, lo:hi]

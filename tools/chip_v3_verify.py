@@ -1,0 +1,87 @@
+"""Chip-vs-CPU full-byte verification of the v3 encode/decode paths.
+
+XLA:TPU on this backend MISCOMPILES certain int8 dot_general shapes under
+vmap (docs/PERF.md "XLA:TPU miscompile"): bit-exact on CPU and at batch 1,
+wrong at production batch sizes.  Any change to the v3 contractions must
+therefore be verified ON CHIP against a CPU golden at a realistic vmap
+batch -- this tool does that for a matrix of configs (profiles, UEP
+shapes, beacon, P5) under the CURRENT env knobs:
+
+    python tools/chip_v3_verify.py [sf_batch ...]
+
+Prints one line per (config, sf_batch): encode byte-diff count vs the CPU
+golden, decode ok flag, and decoded byte equality.  Exit code 1 on any
+mismatch.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from ternary_image_codec_tpu.config import (EncoderConfig, ProfileID,
+                                                SparseBeaconCfg, Tile2D,
+                                                uep_luma_priority,
+                                                uep_uniform)
+    from ternary_image_codec_tpu.ops import pipeline
+
+    def raw_words(n, seed):
+        r = np.random.default_rng(seed)
+        t = r.integers(0, 3, size=(n, 27)).astype(np.int8)
+        t[:, 26] = 0
+        return (t.reshape(n, 9, 3) * np.array([1, 3, 9])).sum(-1) \
+            .astype(np.int8)
+
+    cfgs = [
+        ("P2+luma", EncoderConfig(profile=ProfileID.P2_RS26_22,
+                                  uep=uep_luma_priority())),
+        ("P2+luma+beacon", EncoderConfig(profile=ProfileID.P2_RS26_22,
+                                         uep=uep_luma_priority(),
+                                         beacon=SparseBeaconCfg(13, 4, True))),
+        ("P1+uniform", EncoderConfig(profile=ProfileID.P1_RS26_24,
+                                     uep=uep_uniform(0))),
+        ("P1+uniform+beacon",
+         EncoderConfig(profile=ProfileID.P1_RS26_24, uep=uep_uniform(0),
+                       beacon=SparseBeaconCfg(13, 4, True))),
+        ("P3+uniform", EncoderConfig(profile=ProfileID.P3_RS26_20,
+                                     uep=uep_uniform(2))),
+        ("P5+luma", EncoderConfig(profile=ProfileID.P5_RS26_22_2D,
+                                  uep=uep_luma_priority(),
+                                  tile=Tile2D(26, 26))),
+    ]
+    batches = [int(a) for a in sys.argv[1:]] or [4, 128]
+    cpu = jax.devices("cpu")[0]
+    bad = 0
+    for sfb in batches:
+        for name, cfg in cfgs:
+            n = cfg.superframe_words * sfb * 2 + 77
+            raw = raw_words(n, 3)
+            with jax.default_device(cpu):
+                gold = np.asarray(pipeline.encode_stream_superframes(
+                    jnp.asarray(raw), cfg, sf_batch=sfb))
+            prof = np.asarray(pipeline.encode_stream_superframes(
+                jnp.asarray(raw), cfg, sf_batch=sfb))
+            ndiff = int((prof != gold).sum())
+            out, ok = pipeline.decode_stream_superframes(
+                jnp.asarray(gold), cfg, n, sf_batch=sfb)
+            dec_ok = bool(ok) and np.array_equal(np.asarray(out), raw)
+            status = "OK" if (ndiff == 0 and dec_ok) else "FAIL"
+            bad += status == "FAIL"
+            print(f"{status} sfb={sfb:<4} {name:<18} "
+                  f"enc_diff={ndiff} dec_ok={bool(ok)} dec_exact={dec_ok}")
+            if ndiff:
+                w = np.argwhere(prof != gold)
+                print(f"     first wrong: {w[:3].tolist()} "
+                      f"bands={np.unique(w[:, 2]).tolist()}")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
