@@ -743,6 +743,40 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
     C_dm5 = jnp.asarray(C_dm_np.reshape(3, 3, 3, *C_dm_np.shape[1:]))
     extract = [(k, lo, hi, jnp.asarray(_extract_const(k)))
                for k, lo, hi in groups]
+    # T3_V3_DESCR=fold (check/none modes): the wire divmod digits stay
+    # UNdescrambled; the per-cell scramble offsets -- data-independent --
+    # fold through the linear syndrome/extraction stages into small
+    # host-built output-side constants.  Drops the (9, NB*26) offset
+    # where/mul/sub from the hot digit-grid fusion (the offsets were the
+    # only reason the grid pass touched f32 broadcast state).  The paged
+    # path keeps the descrambled grid (its correction machinery reads it
+    # pervasively).
+    fold_scr = (rs_mode in ("check", "none")
+                and os.environ.get("T3_V3_DESCR", "fold") == "fold")
+    if fold_scr:
+        h9 = np.arange(NB * 26)
+        off_np = np.where((h9 & 1) == 0, pat[b9[:, None] % 6],
+                          pat[(3 + b9[:, None]) % 6]) * (h9 < H)  # (9, cells)
+        off_b = off_np.reshape(NUM_BANDS, M, 13, 26)
+        S8d = np.asarray(rs._matrices_pm(18)["S2"]).sum(axis=1)  # (24, 26)
+        OffS_c = jnp.asarray(
+            ((-np.einsum("tc,bmjc->tbmj", S8d, off_b)) % 3)
+            .reshape(3, 8, 3, 3, M, 13).astype(np.float32))
+        off_fold = []
+        for k, lo, hi, _E in extract:
+            Lk = k // 2
+            gv = hi - lo
+            OffE = np.zeros((3, gv, M, Lk, 26), dtype=np.float32)
+            for J in range(Lk):
+                for i in range(26):
+                    j, c = divmod(26 * J + i, k)
+                    for u in range(3):
+                        for vv in range(gv):
+                            OffE[u, vv, :, J, i] = \
+                                off_b[3 * u + lo + vv, :, j, c]
+            off_fold.append(jnp.asarray(OffE))
+        if b0 >= 0:
+            off_col = jnp.asarray(off_np[b0, :H].astype(np.float32))
     p5 = pl._is_p5(hdr.profile, hdr.tile)
     if p5:
         dlens5 = [geom.blocks[b] * geom.ks[b] for b in range(NUM_BANDS)]
@@ -793,18 +827,25 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
         # pad the 9-row wire BEFORE divmod/descramble (1/3 the bytes of
         # padding the 27-row digit stack); offsets are zero past H so the
         # padded cells descramble to zero = valid codewords
-        h_even = (jnp.arange(NB * 26, dtype=jnp.int32) & 1) == 0
-        in_h = jnp.arange(NB * 26, dtype=jnp.int32) < H
-        off = jnp.where(h_even[None, :], off_even[:, None],
-                        off_odd[:, None]) * in_h[None, :].astype(jnp.float32)
         wT = jnp.pad(body_T, ((0, 0), (0, NB * 26 - H))).astype(jnp.float32)
         q1 = jnp.floor(wT * (1.0 / 3.0))
         q2 = jnp.floor(wT * (1.0 / 9.0))
         planes = (wT - 3.0 * q1, q1 - 3.0 * q2,
                   q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0)))
-        dig = jnp.stack(
-            [fmod3(p - off + 3.0).astype(jnp.int8) for p in planes],
-            axis=0).reshape(3, 3, 3, M, 13, 26)            # (d, u, v, M, j, c)
+        if fold_scr:
+            # UNdescrambled digits; offsets fold into OffS_c / off_fold /
+            # off_col at the (linear) consumers below
+            dig = jnp.stack([p.astype(jnp.int8) for p in planes],
+                            axis=0).reshape(3, 3, 3, M, 13, 26)
+        else:
+            h_even = (jnp.arange(NB * 26, dtype=jnp.int32) & 1) == 0
+            in_h = jnp.arange(NB * 26, dtype=jnp.int32) < H
+            off = jnp.where(h_even[None, :], off_even[:, None],
+                            off_odd[:, None]) \
+                * in_h[None, :].astype(jnp.float32)
+            dig = jnp.stack(
+                [fmod3(p - off + 3.0).astype(jnp.int8) for p in planes],
+                axis=0).reshape(3, 3, 3, M, 13, 26)        # (d, u, v, M, j, c)
         S_pg = None
         oks = []
         if rs_mode == "none":
@@ -818,20 +859,29 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
         else:
             S = lax.dot_general(S8, dig, (((1, 2), (0, 5)), ((), ())),
                                 preferred_element_type=PT)
-            S = fmod3(S.astype(jnp.float32)) \
-                .reshape(3, 8, 3, 3, M, 13)                # (d', r8, u, v, ...)
+            S = S.astype(jnp.float32).reshape(3, 8, 3, 3, M, 13)
+            # folded descramble: subtract the offsets' syndrome
+            # contribution ((-S8 . off) mod 3, a host constant)
+            S = fmod3(S + OffS_c if fold_scr else S)       # (d', r8, u, v, ...)
             # uniform bands: every grid block is checked, INCLUDING the
             # partial tail (real wire cells + zero pad) -- v2's check path
             # pads the grid to 16-block pages and checks all of them, so
             # a corrupted tail cell flags the superframe there too
             ok = ~jnp.any((S != 0.0) & rmask)
         outs = []
-        for k, lo, hi, Ek in extract:
+        for gi, (k, lo, hi, Ek) in enumerate(extract):
             Lk = k // 2
             dg = dig[:, :, lo:hi]                          # (3, 3, gv, M, 13, 26)
             pg = lax.dot_general(dg, Ek, (((4, 5), (0, 1)), ((), ())),
-                                 preferred_element_type=jnp.int32) \
-                .astype(jnp.int8)                          # (3, 3, gv, M, Lk, 26)
+                                 preferred_element_type=jnp.int32)
+            if fold_scr:
+                # folded descramble: the extraction is a permutation, so
+                # each output cell subtracts its own cell's offset
+                # (host-gathered constant; 3 - off keeps fmod3's operand
+                # non-negative)
+                pg = fmod3(pg.astype(jnp.float32)
+                           + (3.0 - off_fold[gi]))
+            pg = pg.astype(jnp.int8)                       # (3, 3, gv, M, Lk, 26)
             if asm == "blk":
                 # merge only (M, Lk) -> grid block B = m*Lk + J; the 26
                 # stays a separate axis end-to-end (no flatten/re-split)
@@ -917,6 +967,12 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
                 # overwrite the group machinery's throwaway column
                 if blocks0:
                     bcol = dig[:, u0, v0].reshape(3, NB * 26)[:, :H]
+                    if fold_scr:
+                        # descramble just this column (the folded grid is
+                        # raw digits); pilot cells keep a junk offset but
+                        # the (S, p)[:, 1:] payload slice below drops them
+                        bcol = fmod3(bcol.astype(jnp.float32)
+                                     + (3.0 - off_col)).astype(jnp.int8)
                     bcol = jnp.pad(bcol, ((0, 0), (0, Sb_ * p - H)))
                     bstr = bcol.reshape(3, Sb_, p)[:, :, 1:] \
                         .reshape(3, SLb)[:, :blocks0 * 26]

@@ -118,6 +118,61 @@ def test_decode_v3_bit_exact(ci, rs_mode):
             assert np.array_equal(got, raw)
 
 
+@pytest.mark.parametrize("knob,val", [
+    ("T3_V3_YSPLIT", "0"),      # single big Y dot + group slices
+    ("T3_V3_PAR", "grid"),      # parity via the second grid contraction
+    ("T3_V3_DESCR", "scr"),     # descramble materialized in the digit grid
+])
+@pytest.mark.parametrize("ci", [0, 2])   # luma-priority P2 + beaconless P1
+def test_v3_stage_knobs_bit_exact(ci, knob, val):
+    """The encode/decode stage-structure knobs (per-group Y dots, parity
+    from data words, folded descramble -- all default-on after chip A/Bs,
+    docs/PERF.md) are pure layout changes: each non-default setting must
+    produce identical wire bytes / decoded words / ok flags."""
+    import dataclasses
+    cfg = CFGS[ci]
+    if ci == 2:  # add a beacon variant of the P1 config for the fold path
+        cfg = dataclasses.replace(cfg, beacon=SparseBeaconCfg(13, 4, True))
+    raw = jnp.asarray(_raw(cfg.superframe_words, seed=91 + ci))
+    layout = pipeline.build_encode_layout(cfg, int(raw.shape[0]))
+    hdr = SuperframeHeader(profile=cfg.profile, uep=cfg.uep, tile=cfg.tile,
+                           seed=cfg.seed, beacon=cfg.beacon,
+                           subword=cfg.subword, centered=cfg.centered,
+                           coset=cfg.coset)
+    dlay = pipeline.build_decode_layout(
+        hdr, layout.total_words - pipeline.HEADER_WORDS)
+
+    def run():
+        pipeline_v3.encode_fn_v3.cache_clear()
+        pipeline_v3.check_decode_fn_v3.cache_clear()
+        w = pipeline_v3.encode_fn_v3(layout, raw_wire="words")(raw)
+        body = w[:, pipeline.HEADER_WORDS:]
+        bad = body.at[4, 100].set((body[4, 100] + 1) % 27)
+        outs = [np.asarray(w)]
+        for mode in ("check", "none"):
+            f = pipeline_v3.check_decode_fn_v3(dlay, mode)
+            for inp in (body, bad):
+                o, k = f(inp)
+                outs.append(np.asarray(o))
+                outs.append(np.asarray(k))
+        return outs
+
+    ref = run()
+    old = os.environ.get(knob)
+    os.environ[knob] = val
+    try:
+        got = run()
+    finally:
+        if old is None:
+            os.environ.pop(knob, None)
+        else:
+            os.environ[knob] = old
+        pipeline_v3.encode_fn_v3.cache_clear()
+        pipeline_v3.check_decode_fn_v3.cache_clear()
+    for a, b in zip(ref, got):
+        assert np.array_equal(a, b)
+
+
 @pytest.mark.parametrize("ci", [4, 6, 7, 8])
 def test_p5_fuse_knob_bit_exact(ci):
     """T3_P5_FUSE=0 forces the v3 stream branch; the snake-composed fused
