@@ -556,7 +556,11 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
                 # full (n7, 702) grid ever materializes -- an A/B against
                 # the relayout copy XLA still inserts between the single
                 # big dot and the group slices (copy.96, ~65 ms / 48
-                # frames in the 2026-08-19 trace)
+                # frames in the 2026-08-19 trace).  Emitting the blocked
+                # (M, Lk, ...) shape directly from each group dot was
+                # tried and REGRESSED 43.4 -> 39.8 fps (the blocked dot
+                # output forces worse tile layouts than the reshape it
+                # saves; docs/PERF.md round-2 ledger)
                 Yg_all = {}
                 for (lo_g, hi_g), Pg in Pg_split.items():
                     Yg = lax.dot_general(X3, Pg,
