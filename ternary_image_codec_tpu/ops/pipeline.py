@@ -1216,6 +1216,14 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
         slabs, slab_order = [], []
         pieces = {}                                      # v_lo -> piece
         oks = []
+        # T3_RS_MIXED=1: defer every k-group's compacted pages into ONE
+        # mixed-k BM/Chien/Forney instance (rs._correct_pm_mixed) instead
+        # of one chain per group -- the repair dispatch is op-count-bound
+        # (docs/PERF.md), so merging the chains roughly halves its hot-op
+        # count for the two-group UEP default.  Bit-exact per block.
+        mixed_rs = (os.environ.get("T3_RS_MIXED", "0") == "1"
+                    and rs_mode == "paged" and len(by_k) > 1)
+        mixed_defer = []                 # (r, g_rd, Sv, Cp, finish)
 
         def _emit_extract(bands, barr, g, k):
             """The raw data columns of a band group (none/check modes)."""
@@ -1301,33 +1309,58 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
             Sv = Sg.transpose(2, 0, 1, 3) \
                 .reshape(g, 3, r, npage, page)[bb, :, :, pp] \
                 .transpose(1, 2, 0, 3).reshape(3, r, C * page)
+            def _finish(d_g, ok_g, *, k=k, g=g, bands=bands, barr=barr,
+                        dirty=dirty, pdirty=pdirty, npage=npage, page=page,
+                        C=C, g_rd=g_rd):
+                delta_g = _m3i(d_g - g_rd[:, :k])
+                # slot-gather the sparse delta back over the group's pages
+                rank = jnp.cumsum(pdirty.astype(jnp.int32)) - 1
+                slot = jnp.clip(rank, 0, C - 1)
+                use_corr = pdirty & (rank < C)
+                dpages = delta_g.reshape(3, k, C, page) \
+                    .transpose(2, 0, 3, 1).reshape(C, 3, page * k)
+                delta = jnp.where(use_corr[:, None, None], dpages[slot],
+                                  jnp.int8(0)) \
+                    .reshape(g, npage, 3, page * k).transpose(0, 2, 1, 3) \
+                    .reshape(g, 3, nblk_p, k)
+                ok_pages = ok_g.reshape(C, page)[slot]   # (g*npage, page)
+                okb = jnp.where(use_corr[:, None], ok_pages,
+                                (~dirty).reshape(g * npage, page))
+                oks.append(okb.reshape(-1))
+                if slab_m27:
+                    base_g = U[barr][:, :, :, :k]        # (g, 3, nblk_p, k)
+                    slabs.append(_m3i(base_g + delta)[:, :, :nblk_u]
+                                 .reshape(3 * g, -1))
+                    slab_order.extend(3 * b + d for b in bands
+                                      for d in range(3))
+                else:
+                    for gi, b in enumerate(bands):
+                        base = U[b][:, :, :k]            # (3, nblk_p, k)
+                        streams[b] = _m3i(base + delta[gi])[:, :nblk_u] \
+                            .reshape(3, -1)
+
+            if mixed_rs:
+                mixed_defer.append((r, g_rd, Sv, C * page, _finish))
+                continue
             d_g, ok_g = rs._correct_pm(g_rd, Sv, k)      # (3, k, Cp)
-            delta_g = _m3i(d_g - g_rd[:, :k])
-            # slot-gather the sparse delta back over the group's pages
-            rank = jnp.cumsum(pdirty.astype(jnp.int32)) - 1
-            slot = jnp.clip(rank, 0, C - 1)
-            use_corr = pdirty & (rank < C)
-            dpages = delta_g.reshape(3, k, C, page) \
-                .transpose(2, 0, 3, 1).reshape(C, 3, page * k)
-            delta = jnp.where(use_corr[:, None, None], dpages[slot],
-                              jnp.int8(0)) \
-                .reshape(g, npage, 3, page * k).transpose(0, 2, 1, 3) \
-                .reshape(g, 3, nblk_p, k)
-            ok_pages = ok_g.reshape(C, page)[slot]       # (g*npage, page)
-            okb = jnp.where(use_corr[:, None], ok_pages,
-                            (~dirty).reshape(g * npage, page))
-            oks.append(okb.reshape(-1))
-            if slab_m27:
-                base_g = U[barr][:, :, :, :k]            # (g, 3, nblk_p, k)
-                slabs.append(_m3i(base_g + delta)[:, :, :nblk_u]
-                             .reshape(3 * g, -1))
-                slab_order.extend(3 * b + d for b in bands
-                                  for d in range(3))
-            else:
-                for gi, b in enumerate(bands):
-                    base = U[b][:, :, :k]                # (3, nblk_p, k)
-                    streams[b] = _m3i(base + delta[gi])[:, :nblk_u] \
-                        .reshape(3, -1)
+            _finish(d_g, ok_g)
+        if mixed_defer:
+            rmax = max(rec[0] for rec in mixed_defer)
+            cat_rd = jnp.concatenate([rec[1] for rec in mixed_defer],
+                                     axis=2)
+            cat_S = jnp.concatenate(
+                [jnp.pad(rec[2], ((0, 0), (0, rmax - rec[0]), (0, 0)))
+                 for rec in mixed_defer], axis=2)
+            r_cat = np.concatenate(
+                [np.full(rec[3], rec[0], dtype=np.int32)
+                 for rec in mixed_defer])
+            fixed_cat, ok_cat = rs._correct_pm_mixed(
+                cat_rd, cat_S, jnp.asarray(r_cat), rmax)
+            off = 0
+            for r_g, g_rd_g, _Sv, Cp, finish in mixed_defer:
+                finish(fixed_cat[:, :26 - r_g, off:off + Cp],
+                       ok_cat[off:off + Cp])
+                off += Cp
         # beacon band: its rows skip the beacon cells -> per-band gather
         if bc_band >= 0 and geom.blocks[bc_band]:
             nblk, k = geom.blocks[bc_band], geom.ks[bc_band]

@@ -164,13 +164,19 @@ def _berlekamp_massey(S_dig, r: int, smax: int):
     return sigma.transpose(2, 0, 1), L
 
 
-def _bm_core(S3d, r: int, smax: int):
+def _bm_core(S3d, r: int, smax: int, r_vec=None):
     """Batched INVERSIONLESS BM (Burton variant), internal layout.
 
     S3d: (r, 3, B) syndrome digits -> (sigma (smax, 3, B), L (B,)); sigma is
     scaled by an arbitrary nonzero field constant per block.  The scale is
     harmless: Chien roots are invariant, and Forney's Y = -Omega(X)/sigma'(X)
     cancels it (Omega = S*sigma mod x^r and sigma' scale identically).
+
+    r_vec (B,) int32 (optional): per-block iteration count for the MIXED-k
+    chain (_correct_pm_mixed) -- iteration n is a no-op for blocks with
+    n >= r_vec (their sigma/L freeze exactly as if their own shorter loop
+    had ended; the caller zero-pads their syndromes above r_vec).  None
+    (the per-k chains) compiles identically to the unmasked form.
 
     TPU-first choices (each was a measured multi-second pathology at frame
     batch sizes otherwise):
@@ -222,6 +228,11 @@ def _bm_core(S3d, r: int, smax: int):
                   .astype(jnp.float32)).astype(jnp.int8)[None]  # (1, 3, B)
 
         dz = jnp.sum(d[0], axis=0) == 0                    # (B,) bool
+        if r_vec is not None:
+            # mixed-k: blocks whose own r is exhausted treat every later
+            # discrepancy as zero -- sigma, L (and effectively Bx/bdig,
+            # never read again) freeze at their per-k values
+            dz = dz | (n >= r_vec)
         # inversionless update: sigma <- b*sigma - d*(x^m B)
         upd = _m3i(m3(bdig, sigma) - m3(d, Bx))
         sigma_new = jnp.where(dz[None, None, :], sigma, upd)
@@ -496,6 +507,79 @@ def _correct_pm(recv_pm, S_pm, k: int):
     ok = ok | synd_zero
     fixed = jnp.where(synd_zero[None, None], recv_pm, fixed)
     return fixed[:, :k], ok
+
+
+def _correct_pm_mixed(recv_pm, S_pm, r_vec, rmax: int):
+    """Mixed-k BM + Chien + Forney: ONE chain instance over blocks of
+    DIFFERENT k, bit-identical per block to _correct_pm at that block's k.
+
+    recv_pm (3, 26, B); S_pm (3, rmax, B) with each block's syndrome rows
+    >= its own r ZEROED by the caller (blocks of smaller r zero-pad);
+    r_vec (B,) int32 per-block r = 26-k.  Returns (fixed (3, 26, B) -- ALL
+    positions, the caller slices its k data columns per group -- ok (B,)).
+
+    Why: the paged repair dispatch is op-count-bound (docs/PERF.md), and
+    the v2 decode body emits one full chain PER k-group.  Masking instead
+    of splitting -- BM iterations n >= r freeze (see _bm_core r_vec),
+    Omega coefficients >= r zero, the recheck tests only the first r
+    syndrome rows, capacity t = r//2 per block -- runs every group in one
+    instance.  Per-block equivalence: within its r iterations the masked
+    BM state equals the per-k state (sigma degree <= r < smax never
+    reaches the shorter array's truncation), the zero-padded sigma rows
+    evaluate to zero under the longer Chien/sigma' maps, and Omega rows
+    j < r use windows identical to the per-k loop (i0 = 0 for all
+    j <= r-1 at every r)."""
+    M = _matrices_pm(N - rmax)
+    r, smax = rmax, rmax + 1
+    B_ = recv_pm.shape[-1]
+    r_vec = jnp.asarray(r_vec, jnp.int32)
+    synd_zero = jnp.all(S_pm.reshape(3 * r, B_) == 0, axis=0)
+
+    S3d = S_pm.transpose(1, 0, 2)                          # (r, 3, B)
+    sigma, L = _bm_core(S3d, r, smax, r_vec=r_vec)         # (smax, 3, B)
+    sigma_pm = sigma.transpose(1, 0, 2)                    # (3, smax, B)
+
+    ev = gf27.mod3_dot_pm(M["CH2"], sigma_pm).reshape(3, N, B_)
+    root = jnp.sum(ev, axis=0) == 0                        # (26, B)
+    nroots = jnp.sum(root, axis=0)                         # (B,)
+
+    def m3(a, b):
+        a0, a1, a2 = a[..., 0, :], a[..., 1, :], a[..., 2, :]
+        b0, b1, b2 = b[..., 0, :], b[..., 1, :], b[..., 2, :]
+        r0 = a0 * b0
+        r1 = a0 * b1 + a1 * b0
+        r2 = a0 * b2 + a1 * b1 + a2 * b0
+        r3 = a1 * b2 + a2 * b1
+        r4 = a2 * b2
+        return jnp.stack([_m3i(r0 + 2 * r3), _m3i(r1 + r3 + 2 * r4),
+                          _m3i(r2 + r4)], axis=-2)
+
+    om_rows = []
+    for j in range(r):
+        terms = m3(S3d[j::-1], sigma[:j + 1])
+        row = fmod3(jnp.sum(terms, axis=0, dtype=jnp.int32)
+                    .astype(jnp.float32)).astype(jnp.int8)
+        # Omega = S(x) sigma(x) mod x^r_block: rows at j >= the block's
+        # own r do not exist in its per-k chain -- zero them
+        om_rows.append(jnp.where((j < r_vec)[None, :], row, jnp.int8(0)))
+    Om_pm = jnp.stack(om_rows, axis=0).transpose(1, 0, 2)  # (3, r, B)
+
+    num = gf27.mod3_dot_pm(M["OM2"], Om_pm).reshape(3, N, B_)
+    den = gf27.mod3_dot_pm(M["SP2"], sigma_pm).reshape(3, N, B_)
+    Y = _m3i(-gf27.mul_pm(num, gf27.inv_pm(den)))
+    corr = jnp.where(root[None], _m3i(-Y), jnp.int8(0))
+    fixed = _m3i(recv_pm + corr)                           # (3, 26, B)
+
+    # recheck only each block's own syndromes (rows >= its r are nonzero
+    # even for valid codewords of its k)
+    S2c = gf27.mod3_dot_pm(M["S2"], fixed).reshape(3, r, B_)
+    rmask = jnp.arange(r, dtype=jnp.int32)[None, :, None] \
+        < r_vec[None, None, :]
+    ok = jnp.all((jnp.where(rmask, S2c, 0) == 0).reshape(3 * r, B_),
+                 axis=0) & (nroots <= r_vec // 2) & (nroots == L)
+    ok = ok | synd_zero
+    fixed = jnp.where(synd_zero[None, None], recv_pm, fixed)
+    return fixed, ok
 
 
 def decode_pm(recv_pm, k: int):

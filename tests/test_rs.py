@@ -261,3 +261,46 @@ class TestDecodeDelta:
         assert rs.pick_page(909) == 9
         assert 8 <= rs.pick_page(64 * 7) <= 64
         assert rs.pick_page(101) is None  # prime beyond range
+
+
+class TestMixedChain:
+    """rs._correct_pm_mixed: one chain over blocks of different k must be
+    bit-identical per block to the per-k _correct_pm -- data AND ok,
+    including beyond-capacity (overflow/miscorrection) decisions."""
+
+    def test_mixed_matches_per_k(self):
+        rng = np.random.default_rng(7)
+        ks = [24, 22, 20, 18]
+        rmax = max(26 - k for k in ks)
+        B_per = 96
+        blocks, rvec, S_list, ref = [], [], [], []
+        for k in ks:
+            r = 26 - k
+            cw = rs.np_encode(rng.integers(0, 27, size=(B_per, k)), k)
+            dig = np.stack([cw % 3, cw // 3 % 3, cw // 9 % 3], 0)
+            for b in range(B_per):      # 0 .. t+2 injected symbol errors
+                ne = rng.integers(0, r // 2 + 3)
+                for p in rng.choice(26, ne, replace=False):
+                    dig[:, b, p] = rng.integers(0, 3, 3)
+            pm = jnp.asarray(dig.transpose(0, 2, 1))     # (3, 26, B)
+            S = rs.syndromes_pm(pm, k)
+            ref.append(rs._correct_pm(pm, S, k))
+            S_list.append(np.pad(np.asarray(S),
+                                 ((0, 0), (0, rmax - r), (0, 0))))
+            blocks.append(dig)
+            rvec += [r] * B_per
+        recv = jnp.asarray(np.concatenate(
+            [d.transpose(0, 2, 1) for d in blocks], axis=2))
+        fixed, ok = rs._correct_pm_mixed(
+            recv, jnp.asarray(np.concatenate(S_list, axis=2)),
+            np.asarray(rvec, np.int32), rmax)
+        fixed, ok = np.asarray(fixed), np.asarray(ok)
+        off = 0
+        saw_overflow = False
+        for (d_ref, ok_ref), k in zip(ref, ks):
+            sl = slice(off, off + B_per)
+            assert np.array_equal(fixed[:, :k, sl], np.asarray(d_ref))
+            assert np.array_equal(ok[sl], np.asarray(ok_ref))
+            saw_overflow |= not np.asarray(ok_ref).all()
+            off += B_per
+        assert saw_overflow  # the sweep exercised beyond-capacity blocks
