@@ -72,10 +72,26 @@ def main():
             out, ok = pipeline.decode_stream_superframes(
                 jnp.asarray(gold), cfg, n, sf_batch=sfb)
             dec_ok = bool(ok) and np.array_equal(np.asarray(out), raw)
-            status = "OK" if (ndiff == 0 and dec_ok) else "FAIL"
+            # dirty leg: exercises the paged repair dispatch (incl. the
+            # T3_RS_MIXED merged chain when enabled) against a CPU golden
+            dirty = gold.copy()
+            dirty[0, 500, 4] = (dirty[0, 500, 4] + 1) % 27
+            dirty[1, 77, 0] = (dirty[1, 77, 0] + 2) % 27
+            with jax.default_device(cpu):
+                gout, gok = pipeline.decode_stream_superframes(
+                    jnp.asarray(dirty), cfg, n, sf_batch=sfb,
+                    strategy="paged")
+                gout, gok = np.asarray(gout), bool(gok)
+            dout, dok = pipeline.decode_stream_superframes(
+                jnp.asarray(dirty), cfg, n, sf_batch=sfb, strategy="paged")
+            fix_ok = (bool(dok) == gok
+                      and np.array_equal(np.asarray(dout), gout))
+            status = ("OK" if (ndiff == 0 and dec_ok and fix_ok)
+                      else "FAIL")
             bad += status == "FAIL"
             print(f"{status} sfb={sfb:<4} {name:<18} "
-                  f"enc_diff={ndiff} dec_ok={bool(ok)} dec_exact={dec_ok}")
+                  f"enc_diff={ndiff} dec_ok={bool(ok)} dec_exact={dec_ok} "
+                  f"paged_fix_exact={fix_ok}")
             if ndiff:
                 w = np.argwhere(prof != gold)
                 print(f"     first wrong: {w[:3].tolist()} "
