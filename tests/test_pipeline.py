@@ -481,3 +481,79 @@ class TestSuperframeStreaming:
                             superframe_words=32)
         with pytest.raises(ValueError, match="words_period=1"):
             pipeline.build_encode_layout(cfg, 32)
+
+
+class TestMixedKRepair:
+    """T3_RS_MIXED=1 defers every k-group's page-compacted blocks into ONE
+    masked mixed-k BM/Chien/Forney instance (rs._correct_pm_mixed) instead
+    of one chain per group -- a pure op-count restructure of the paged
+    repair dispatch.  Output bytes and ok flags must match the per-group
+    chains exactly, including beyond-capacity and page-overflow decisions
+    (rs-level equivalence: tests/test_rs.py::test_correct_pm_mixed)."""
+
+    def _run_paged(self, dlay, body, mixed, monkeypatch):
+        import os
+        monkeypatch.setenv("T3_RS_MIXED", "1" if mixed else "0")
+        pipeline._decode_body_fn.cache_clear()
+        try:
+            out, ok = pipeline._decode_body_fn(dlay, "paged",
+                                               wire="planes")(body)
+            return np.asarray(out), bool(ok)
+        finally:
+            pipeline._decode_body_fn.cache_clear()
+
+    @pytest.mark.parametrize("beacon", [False, True])
+    def test_mixed_matches_per_group_chains(self, beacon, monkeypatch):
+        from ternary_image_codec_tpu.config import SuperframeHeader
+        cfg = EncoderConfig(
+            profile=ProfileID.P2_RS26_22, uep=uep_luma_priority(),
+            superframe_words=2048,
+            beacon=SparseBeaconCfg(13, 4, True) if beacon else
+            SparseBeaconCfg())
+        raw = make_raw_words(cfg.superframe_words, seed=55)
+        layout = pipeline.build_encode_layout(cfg, int(raw.shape[0]))
+        hdr = SuperframeHeader(profile=cfg.profile, uep=cfg.uep,
+                               tile=cfg.tile, seed=cfg.seed,
+                               beacon=cfg.beacon, subword=cfg.subword,
+                               centered=cfg.centered, coset=cfg.coset)
+        dlay = pipeline.build_decode_layout(
+            hdr, layout.total_words - pipeline.HEADER_WORDS)
+        wire = np.asarray(
+            pipeline._encode_fn(layout, wire="planes")(jnp.asarray(raw)))
+        body = wire[:, pipeline.HEADER_WORDS:]
+        H = body.shape[1]
+        r = np.random.default_rng(77)
+
+        def corrupt(cells):
+            bad = body.copy()
+            for b, h, d in cells:
+                bad[b, h] = (bad[b, h] + d) % 27
+            return jnp.asarray(bad)
+
+        cases = {
+            "clean": jnp.asarray(body),
+            # correctable damage touching BOTH k-groups (k=20 bands 0/3/6,
+            # k=22 elsewhere), several pages apart
+            "correctable": corrupt([(0, 5, 1), (0, 6, 2), (1, 900, 1),
+                                    (6, 1700, 2), (2, 40, 1)]),
+            # > t errors inside one k=22 codeword (t=2): uncorrectable or
+            # miscorrected -- either way both paths must agree byte-for-byte
+            "beyond_capacity": corrupt([(1, 26 * 3 + c, 1 + c % 2)
+                                        for c in range(8)]),
+            # heavy scattered damage: more dirty pages than the compaction
+            # capacity C in at least one group -> overflow fail-safe
+            "page_overflow": corrupt([(b, h, 1)
+                                      for b in range(9)
+                                      for h in range(3, H - 1, 16 * 26)]),
+        }
+        for name, inp in cases.items():
+            o_ref, k_ref = self._run_paged(dlay, inp, False, monkeypatch)
+            o_mix, k_mix = self._run_paged(dlay, inp, True, monkeypatch)
+            assert np.array_equal(o_ref, o_mix), name
+            assert k_ref == k_mix, name
+            if name in ("clean", "correctable"):
+                assert k_ref, name
+                got = o_ref.T[:raw.shape[0]]
+                assert np.array_equal(got, raw), name
+            elif name == "page_overflow":
+                assert not k_ref, name
