@@ -1134,8 +1134,14 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
     for b in range(NUM_BANDS):
         if b != bc_band and geom.blocks[b]:
             by_k.setdefault(geom.ks[b], []).append(b)
-    # one r=8 syndrome matrix serves every band
-    S8 = rs._matrices_pm(18)["S2"]                       # (24, 3, 26)
+    # one r=8 syndrome matrix serves every band; T3_V3_SROWS=max trims it
+    # to the uniform groups' max r = 26-k (rows >= a group's own r were
+    # always sliced away before use; the beacon band checks separately)
+    rmax_g = max((rs.N - k for k in by_k), default=8)
+    srows = (rmax_g if os.environ.get("T3_V3_SROWS", "8") == "max" else 8)
+    S8 = np.asarray(rs._matrices_pm(18)["S2"]) \
+        .reshape(3, 8, 3, rs.N)[:, :srows] \
+        .reshape(3 * srows, 3, rs.N)                     # (3*srows, 3, 26)
 
     # T3_DEC_DIG=dmaj: build the digit grid D-MAJOR (27, H_p), row 9d+b --
     # the three descrambled digit planes CONCAT along the leading axis
@@ -1169,7 +1175,7 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
                     (((1, 2), (0, 3)), ((), ())),
                     preferred_element_type=jnp.int32)    # (24, 9, nblk)
                 S_all = fmod3(S_all.astype(jnp.float32)).astype(jnp.int8) \
-                    .reshape(3, 8, NUM_BANDS, nblk_p)
+                    .reshape(3, srows, NUM_BANDS, nblk_p)
         else:
             D4 = None
             dig = jnp.stack(
@@ -1184,7 +1190,7 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
                     (((1, 2), (1, 3)), ((), ())),
                     preferred_element_type=jnp.int32)    # (24, 9, nblk)
                 S_all = fmod3(S_all.astype(jnp.float32)).astype(jnp.int8) \
-                    .reshape(3, 8, NUM_BANDS, nblk_p)
+                    .reshape(3, srows, NUM_BANDS, nblk_p)
 
         # T3_DEC_M27=slab: build the (27, max_dp) assembly input as 2-3
         # k-group SLABS in slab row order; the band-order permutation rides
@@ -1210,7 +1216,7 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
                 D5 = D4.reshape(3, 3, 3, nblk_p, rs.N)   # (d, u, v, ...)
             else:
                 U5 = U.reshape(3, 3, 3, nblk_p, rs.N)    # (u, v, d, ...)
-            S5 = (S_all.reshape(3, 8, 3, 3, nblk_p)
+            S5 = (S_all.reshape(3, srows, 3, 3, nblk_p)
                   if rs_mode != "none" else None)
         streams = [None] * NUM_BANDS
         slabs, slab_order = [], []

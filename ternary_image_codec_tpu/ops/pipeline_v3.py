@@ -726,11 +726,23 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
     b9 = np.arange(NUM_BANDS)
     off_even = jnp.asarray(pat[b9 % 6])
     off_odd = jnp.asarray(pat[(3 + b9) % 6])
-    S8 = jnp.asarray(rs._matrices_pm(18)["S2"], dtype=jnp.int8)  # (24, 3, 26)
+    # T3_V3_SROWS=max: the syndrome dot computes only the groups' max
+    # r = 26-k rows instead of all 8 -- for the headline luma-UEP config
+    # (k in {20, 22}, rmax = 6) that trims the dot's FLOPs and its output
+    # (and the folded-offset constant) by 25%.  Rows >= a group's own r
+    # were always masked out of ok; every group (incl. the beacon band's
+    # k) has r <= rmax, so the trim is a pure dead-row deletion.  The
+    # lhs keeps the chip-proven joint (3, 26) contraction shape.
+    rmax_g = max(rs.N - k for k, _lo, _hi in groups)
+    srows = (rmax_g if os.environ.get("T3_V3_SROWS", "8") == "max" else 8)
+    S8 = jnp.asarray(
+        np.asarray(rs._matrices_pm(18)["S2"])
+        .reshape(3, 8, 3, rs.N)[:, :srows]
+        .reshape(3 * srows, 3, rs.N), dtype=jnp.int8)   # (3*srows, 3, 26)
     # per-(u, v) syndrome row mask: band 3u+v checks its group's r = 26-k
     # rows; the beacon band position is fully masked (its column has its
     # own row geometry -- checked separately below)
-    rmask = np.zeros((3, 8, 3, 3, 1, 1), dtype=bool)
+    rmask = np.zeros((3, srows, 3, 3, 1, 1), dtype=bool)
     for k, lo, hi in groups:
         rmask[:, :rs.N - k, :, lo:hi] = True
     if b0 >= 0:
@@ -762,10 +774,10 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
         off_np = np.where((h9 & 1) == 0, pat[b9[:, None] % 6],
                           pat[(3 + b9[:, None]) % 6]) * (h9 < H)  # (9, cells)
         off_b = off_np.reshape(NUM_BANDS, M, 13, 26)
-        S8d = np.asarray(rs._matrices_pm(18)["S2"]).sum(axis=1)  # (24, 26)
+        S8d = np.asarray(S8).sum(axis=1)                 # (3*srows, 26)
         OffS_c = jnp.asarray(
             ((-np.einsum("tc,bmjc->tbmj", S8d, off_b)) % 3)
-            .reshape(3, 8, 3, 3, M, 13).astype(np.float32))
+            .reshape(3, srows, 3, 3, M, 13).astype(np.float32))
         off_fold = []
         for k, lo, hi, _E in extract:
             Lk = k // 2
@@ -858,12 +870,12 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
             S_pg = lax.dot_general(S8, dig, (((1, 2), (0, 5)), ((), ())),
                                    preferred_element_type=PT)
             S_pg = fmod3(S_pg.astype(jnp.float32)).astype(jnp.int8) \
-                .reshape(3, 8, 3, 3, M, 13)
+                .reshape(3, srows, 3, 3, M, 13)
             ok = None                                      # set after the loop
         else:
             S = lax.dot_general(S8, dig, (((1, 2), (0, 5)), ((), ())),
                                 preferred_element_type=PT)
-            S = S.astype(jnp.float32).reshape(3, 8, 3, 3, M, 13)
+            S = S.astype(jnp.float32).reshape(3, srows, 3, 3, M, 13)
             # folded descramble: subtract the offsets' syndrome
             # contribution ((-S8 . off) mod 3, a host constant)
             S = fmod3(S + OffS_c if fold_scr else S)       # (d', r8, u, v, ...)
@@ -988,7 +1000,7 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
                                              (((1, 2), (0, 3)), ((), ())),
                                              preferred_element_type=PT)
                         Sb = fmod3(Sb.astype(jnp.float32)) \
-                            .reshape(3, 8, M0, 13)
+                            .reshape(3, srows, M0, 13)
                         bblk_ok = (lax.broadcasted_iota(
                             jnp.int32, (M0, 13), 0) * 13
                             + lax.broadcasted_iota(

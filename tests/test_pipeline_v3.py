@@ -122,6 +122,7 @@ def test_decode_v3_bit_exact(ci, rs_mode):
     ("T3_V3_YSPLIT", "0"),      # single big Y dot + group slices
     ("T3_V3_PAR", "grid"),      # parity via the second grid contraction
     ("T3_V3_DESCR", "scr"),     # descramble materialized in the digit grid
+    ("T3_V3_SROWS", "max"),     # syndrome dot trimmed to the groups' max r
 ])
 @pytest.mark.parametrize("ci", [0, 2])   # luma-priority P2 + beaconless P1
 def test_v3_stage_knobs_bit_exact(ci, knob, val):
