@@ -22,6 +22,8 @@ def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if os.environ.get("T3_BENCH_CPU"):   # smoke-test on CPU (the axon hook
+        jax.config.update("jax_platforms", "cpu")  # ignores JAX_PLATFORMS)
     import jax
     import jax.numpy as jnp
     from ternary_image_codec_tpu.config import (EncoderConfig, ProfileID,
@@ -30,6 +32,8 @@ def main():
     from ternary_image_codec_tpu.ops import pipeline
 
     W, H = 7680, 4320
+    if os.environ.get("T3_BENCH_WH"):    # smoke-test override (e.g. 512x128)
+        W, H = map(int, os.environ["T3_BENCH_WH"].split("x"))
     n_raw = W * H // 2  # word9: 2 px/word
     # T3_BENCH_BEACON=1: the flagship streaming shape (period-13 beacon in
     # band 4, the entry() config) instead of the BASELINE.json headline
@@ -111,8 +115,23 @@ def main():
     # staged input sets alone are ~14 GB of the 16 GB HBM)
     iters = int(os.environ.get("T3_BENCH_ITERS", "24"))
     flat_struct = os.environ.get("T3_BENCH_STRUCT", "flat") == "flat"
+    # T3_BENCH_STAGE=device: the timed frames are synthesized ON DEVICE
+    # from ONE staged base frame + a per-frame scalar ((base + c) mod 27,
+    # fused into the encoder's first read via roundtrip_stream_fn's feed
+    # hook) instead of pre-staging every distinct frame in HBM (~4.7 GB
+    # per 24-frame batch, the iters=32 OOM wall) -- frames/dispatch can
+    # then rise far past 24 to amortize the ~25 ms tunnel dispatch floor.
+    # Inputs stay distinct per frame (defeats remote result caching) and
+    # the codec does identical work per frame.
+    stage_dev = (flat_struct
+                 and os.environ.get("T3_BENCH_STAGE", "host") == "device")
 
     def _stage(bi):
+        if stage_dev:
+            v = ((np.repeat(np.arange(1, iters + 1, dtype=np.int64),
+                            n_sf) + iters * bi) % 27).astype(np.int8)
+            return (jnp.asarray(np.tile(np.arange(n_sf, dtype=np.int32),
+                                        iters)), jnp.asarray(v))
         b = np.stack([(chunks_np + iters * bi + i)
                       for i in range(1, iters + 1)]) % 27
         # flat structure consumes the flattened (frames x superframes) axis;
@@ -121,15 +140,36 @@ def main():
         return jnp.asarray(b.reshape((-1,) + b.shape[2:]) if flat_struct
                            else b)
 
-    batches = [_stage(bi) for bi in range(3)]
-    for b in batches:
-        b.block_until_ready()
+    batches = jax.block_until_ready([_stage(bi) for bi in range(3)])
 
     # T3_BENCH_STRUCT=flat: fused per-superframe encode+check-decode body
     # over the FLATTENED (frames x superframes) axis -- wire words stay in
     # VMEM (no ~2x170 MB HBM pass per frame) and the lax.map step count
     # halves (see pipeline.roundtrip_stream_fn).
-    if flat_struct:
+    if stage_dev:
+        base = jnp.asarray(chunks_np)        # ONE frame's superframes
+        # variant modulus per band: RAW word9 keeps the spare trit zero
+        # (band-8 symbols live in 0..8), so band 8 varies mod 9 to stay
+        # in-domain (out-of-domain symbols would decode trit-normalized
+        # and break the checksum identity below)
+        m_np = np.asarray([27.0] * 8 + [9.0], dtype=np.float32)
+        m9 = jnp.asarray(m_np if raw_wire == "words" else m_np[:, None])
+
+        def _make(src, sidx, v):
+            c = src[sidx].astype(jnp.float32) + v.astype(jnp.float32)
+            # exact f32 mod (values <= 52): docs/PERF.md float-trit rule
+            return (c - m9 * jnp.floor(c * (1.0 / m9))).astype(jnp.int8)
+
+        rt = pipeline.roundtrip_stream_fn(
+            cfg, sf_batch, rs_mode="check", raw_wire=raw_wire,
+            fold=lambda o: jnp.sum(o.astype(jnp.int32)),
+            feed=(base, _make))
+
+        @jax.jit
+        def step_frames(sv):                 # (sidx (F*n_sf,), v (F*n_sf,))
+            chks, ok = rt(*sv)
+            return jnp.all(ok), jnp.sum(chks)
+    elif flat_struct:
         # per-superframe checksum fold: decoded planes never reach HBM
         # (the maps path reduces inside its frame body the same way)
         rt = pipeline.roundtrip_stream_fn(
@@ -152,6 +192,19 @@ def main():
 
     ok_all, chk = step_frames(batches[0])  # compile + warm
     assert bool(ok_all)
+    if stage_dev:
+        # the device-synthesized inputs must checksum to the host formula
+        # (decoded == input for a clean roundtrip; padding words are zero;
+        # band 8 varies mod 9 -- see _make)
+        b8 = chunks_np[..., 8] if raw_wire == "words" else chunks_np[:, 8]
+        hist8 = np.bincount(b8.ravel().astype(np.int64), minlength=27)
+        hist = np.bincount(chunks_np.ravel().astype(np.int64),
+                           minlength=27) - hist8
+        k27 = np.arange(27, dtype=np.int64)
+        exp = sum(int((hist * ((k27 + i % 27) % 27)).sum())
+                  + int((hist8 * ((k27 + i % 27) % 9)).sum())
+                  for i in range(1, iters + 1))
+        assert (exp - int(chk)) % (1 << 32) == 0, "device-staged checksum"
     dt = float("inf")
     with tracing.device_trace(os.environ.get("T3_TRACE_DIR")):
         if os.environ.get("T3_BENCH_ASYNC", "1") not in ("", "0"):

@@ -1631,7 +1631,7 @@ def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged",
 
 def roundtrip_stream_fn(cfg: EncoderConfig, sf_batch: int,
                         rs_mode: str = "check", raw_wire: str = "words",
-                        fold=None):
+                        fold=None, feed=None):
     """Fused encode->decode verify roundtrip over a superframe stream.
 
     The write-verify scrub shape (the stream analog of the reference's
@@ -1651,6 +1651,13 @@ def roundtrip_stream_fn(cfg: EncoderConfig, sf_batch: int,
     When given, the decoded planes are folded INSIDE the map body (they
     never reach HBM -- e.g. a checksum or a quality metric) and the fn
     returns (folded (n_sf, ...), ok) instead of the raw planes.
+
+    feed: optional (src, make) pair for device-synthesized inputs: the
+    returned fn takes per-superframe aux arrays (leading dim = stream
+    length) instead of chunks, and the map body builds each chunk as
+    make(src, *aux_row) -- e.g. a row gather + variant add fused into
+    the encoder's first read, so a long synthetic stream never occupies
+    HBM (bench.py stages ~150 MB instead of gigabytes per dispatch).
     """
     layout = build_encode_layout(cfg, cfg.superframe_words)
     enc_one = _encode_fn(layout, wire="planes", raw_wire=raw_wire)
@@ -1669,7 +1676,12 @@ def roundtrip_stream_fn(cfg: EncoderConfig, sf_batch: int,
             out = fold(out)
         return out, ok, w[:, :HEADER_WORDS]
 
-    body = jax.vmap(sf_body)
+    if feed is not None:
+        src, make = feed
+        src = jnp.asarray(src)
+        body = jax.vmap(lambda *aux: sf_body(make(src, *aux)))
+    else:
+        body = jax.vmap(sf_body)
 
     def _rebatch(x):
         n = x.shape[0]
@@ -1690,16 +1702,26 @@ def roundtrip_stream_fn(cfg: EncoderConfig, sf_batch: int,
                             unroll=unroll)[1]
         return lax.map(f, xs)
 
-    @jax.jit
-    def roundtrip(chunks):
-        n = chunks.shape[0]
-        out, ok, hdrs = _map(body, _rebatch(chunks))
+    def _post(n, out, ok, hdrs):
         out = (out.reshape(-1, NUM_BANDS, dlayout.n_out_words)
                if fold is None else out.reshape((-1,) + out.shape[2:]))[:n]
         ok = ok.reshape(-1)[:n]
         hdrs = hdrs.reshape(-1, NUM_BANDS, HEADER_WORDS)[:n]
         # hoisted header validation (same contract as _stream_fns.dec_stream)
         return out, ok & validate_hdrs(hdrs)
+
+    if feed is not None:
+        @jax.jit
+        def roundtrip(*aux):
+            n = aux[0].shape[0]
+            out, ok, hdrs = _map(lambda t: body(*t),
+                                 tuple(_rebatch(a) for a in aux))
+            return _post(n, out, ok, hdrs)
+    else:
+        @jax.jit
+        def roundtrip(chunks):
+            out, ok, hdrs = _map(body, _rebatch(chunks))
+            return _post(chunks.shape[0], out, ok, hdrs)
 
     return roundtrip
 

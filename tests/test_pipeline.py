@@ -557,3 +557,39 @@ class TestMixedKRepair:
                 assert np.array_equal(got, raw), name
             elif name == "page_overflow":
                 assert not k_ref, name
+
+
+def test_roundtrip_feed_hook_matches_host_staging():
+    """roundtrip_stream_fn(feed=...): device-synthesized chunks (row gather
+    + variant add built inside the map body) must produce the same folds
+    and ok flags as the same chunks staged host-side (bench.py's
+    T3_BENCH_STAGE=device path)."""
+    import jax
+    cfg = EncoderConfig(profile=ProfileID.P2_RS26_22,
+                        uep=uep_luma_priority(), superframe_words=64)
+    r = np.random.default_rng(17)
+    n_sf, iters = 3, 4
+    t = r.integers(0, 3, size=(n_sf * 64, 27)).astype(np.int8)
+    t[:, 26] = 0
+    base_np = (t.reshape(-1, 9, 3) * np.array([1, 3, 9])).sum(-1) \
+        .astype(np.int8).reshape(n_sf, 64, 9)
+    sidx = np.tile(np.arange(n_sf, dtype=np.int32), iters)
+    v = np.repeat(np.arange(1, iters + 1, dtype=np.int8), n_sf)
+    host = ((base_np[sidx].astype(np.int64)
+             + v[:, None, None]) % 27).astype(np.int8)
+    fold = lambda o: jnp.sum(o.astype(jnp.int32))
+    rt_host = pipeline.roundtrip_stream_fn(cfg, 2, rs_mode="check",
+                                           fold=fold)
+    chk_ref, ok_ref = rt_host(jnp.asarray(host))
+
+    def make(src, si, vi):
+        c = src[si].astype(jnp.float32) + vi.astype(jnp.float32)
+        return (c - 27.0 * jnp.floor(c * (1.0 / 27.0))).astype(jnp.int8)
+
+    rt_feed = pipeline.roundtrip_stream_fn(
+        cfg, 2, rs_mode="check", fold=fold,
+        feed=(jnp.asarray(base_np), make))
+    chk, ok = rt_feed(jnp.asarray(sidx), jnp.asarray(v))
+    assert np.array_equal(np.asarray(chk), np.asarray(chk_ref))
+    assert np.array_equal(np.asarray(ok), np.asarray(ok_ref))
+    assert np.all(np.asarray(ok))
