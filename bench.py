@@ -265,9 +265,16 @@ def main():
         return outs, oks, jnp.sum(outs[0, 0, :8].astype(jnp.int32))
 
     @jax.jit
-    def merge_fix(outs, bi, bj, fix):
+    def repair_merge(outs, ws, bi, bj):
+        # fused phase 2: gather flagged superframes + paged repair +
+        # scatter-merge + ok reduction in ONE dispatch -- the eager
+        # gather/repair/merge/all chain paid the ~25 ms tunnel dispatch
+        # floor per step (the dominant dirty-decode tax at 160 dirty
+        # superframes; docs/PERF.md machine constants).  Mirrors
+        # pipeline._repair_merge_fn.
+        fix, okf = dec_fix_sf(ws[bi, bj])
         outs = outs.at[bi, bj].set(fix)
-        return outs, jnp.sum(outs[0, 0, :8].astype(jnp.int32))
+        return outs, jnp.all(okf), jnp.sum(outs[0, 0, :8].astype(jnp.int32))
 
     @jax.jit
     def corrupt_fn(ws, fi, si):
@@ -278,11 +285,10 @@ def main():
         outs, oks, chk = dec_frames_check(ws)
         bad = np.argwhere(~np.asarray(oks))      # host sync + branch
         if bad.size:
-            sub = ws[jnp.asarray(bad[:, 0]), jnp.asarray(bad[:, 1])]
-            fix, okf = dec_fix_sf(sub)
-            outs, chk = merge_fix(outs, jnp.asarray(bad[:, 0]),
-                                  jnp.asarray(bad[:, 1]), fix)
-            return outs, bool(jnp.all(okf)), chk
+            outs, okf, chk = repair_merge(outs, ws,
+                                          jnp.asarray(bad[:, 0]),
+                                          jnp.asarray(bad[:, 1]))
+            return outs, bool(okf), chk
         return outs, True, chk
 
     if os.environ.get("T3_BENCH_SKIP_DIRTY"):   # quick A/B: headline only

@@ -1754,6 +1754,24 @@ def encode_stream_superframes(raw_words, cfg: EncoderConfig,
     return enc(chunks).swapaxes(1, 2)
 
 
+@functools.cache
+def _repair_merge_fn(cfg: EncoderConfig, sf_batch: int):
+    """Fused phase-2 repair for the two-phase auto decode: gather the
+    flagged superframes, run the paged corrector, scatter the fixed
+    decodes over the phase-1 output, and reduce the repair ok flags --
+    all in ONE dispatch (each eager step would pay the ~25 ms tunnel
+    dispatch floor separately, docs/PERF.md)."""
+    _l, _d, _enc, dec_fix = _stream_fns(cfg, sf_batch, rs_mode="paged",
+                                        ok_per_sf=True)
+
+    @jax.jit
+    def repair_merge(raw_T, words_T, bad):
+        fix_T, ok_fix = dec_fix(words_T[bad])
+        return raw_T.at[bad].set(fix_T), jnp.all(ok_fix)
+
+    return repair_merge
+
+
 def decode_stream_superframes(words, cfg: EncoderConfig, n_raw: int,
                               sf_batch: int = 64, strategy: str = "auto"):
     """(n_sf, total_words, 9) profile words -> (n_raw, 9) RAW words + ok.
@@ -1789,15 +1807,20 @@ def decode_stream_superframes(words, cfg: EncoderConfig, n_raw: int,
         bad = np.flatnonzero(~np.asarray(ok_sf))
         ok = jnp.asarray(bad.size == 0)
         if bad.size:
-            # phase 2: repair pass over just the dirty superframes (same
-            # micro-batch size as phase 1 -- a fresh size would recompile;
-            # _rebatch pads a partial batch by repeating the last chunk)
-            _l, _d, _enc, dec_fix = _stream_fns(cfg, sf_batch,
-                                                rs_mode="paged",
-                                                ok_per_sf=True)
-            fix_T, ok_fix = dec_fix(words_T[jnp.asarray(bad)])
-            raw_T = raw_T.at[jnp.asarray(bad)].set(fix_T)
-            ok = jnp.all(ok_fix)
+            # phase 2: ONE fused dispatch gathers the dirty superframes,
+            # runs the page-compacted corrector, and scatters the fixes
+            # back -- the eager gather / repair / scatter / all() chain it
+            # replaces paid a ~25 ms tunnel dispatch floor PER STEP
+            # (docs/PERF.md machine constants).  The index vector is
+            # host-padded to a multiple of sf_batch (repeat last) so the
+            # fused program's shape -- and its compile -- is quantized to
+            # micro-batch multiples, exactly like _rebatch pads data;
+            # duplicate scatter indices write identical decodes.
+            nb_pad = _ceil_div(bad.size, sf_batch) * sf_batch
+            bad_p = np.concatenate(
+                [bad, np.repeat(bad[-1:], nb_pad - bad.size)])
+            raw_T, ok = _repair_merge_fn(cfg, sf_batch)(
+                raw_T, words_T, jnp.asarray(bad_p))
     else:
         _l, _d, _enc, dec = _stream_fns(cfg, sf_batch, rs_mode=strategy)
         raw_T, ok = dec(words_T)

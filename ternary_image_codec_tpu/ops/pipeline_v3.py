@@ -775,22 +775,68 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
                           pat[(3 + b9[:, None]) % 6]) * (h9 < H)  # (9, cells)
         off_b = off_np.reshape(NUM_BANDS, M, 13, 26)
         S8d = np.asarray(S8).sum(axis=1)                 # (3*srows, 26)
-        OffS_c = jnp.asarray(
-            ((-np.einsum("tc,bmjc->tbmj", S8d, off_b)) % 3)
-            .reshape(3, srows, 3, 3, M, 13).astype(np.float32))
+        # The dense syndrome offset (-S8d . off) mod 3 is (3, srows, 3,
+        # 3, M, 13) f32 (~0.3 MB) -- but block offsets only come in THREE
+        # regimes: every fully-in-range block (26 bk + 25 < H) shares one
+        # value per (row, band) since the cell offsets are a pure parity
+        # pattern, the single partial block (bk == H // 26, if H % 26)
+        # has its own masked sum, and blocks past H contribute zero.  Ship
+        # the two (3, srows, 3, 3) constants + (M, 13) regime masks and
+        # select AROUND the data (see off_fold below for why a where).
+        c26 = np.arange(26)
+        pat_e9, pat_o9 = pat[b9 % 6], pat[(3 + b9) % 6]
+        bkf, part = H // 26, H % 26
+        _sumpar = lambda cmask: (
+            (-(np.outer((S8d * (cmask & ((c26 & 1) == 0))).sum(1), pat_e9)
+               + np.outer((S8d * (cmask & ((c26 & 1) == 1))).sum(1),
+                          pat_o9))) % 3)                 # (3*srows, 9)
+        OffS_base = _sumpar(np.ones(26, dtype=bool))
+        OffS_tail = _sumpar(c26 < part)
+        dense = np.zeros((3 * srows, NUM_BANDS, M * 13))
+        dense[:, :, :bkf] = OffS_base[:, :, None]
+        if part:
+            dense[:, :, bkf] = OffS_tail
+        assert np.array_equal(
+            dense.reshape(-1, NUM_BANDS, M, 13),
+            (-np.einsum("tc,bmjc->tbmj", S8d, off_b)) % 3)
+        bk_i = np.arange(M * 13).reshape(M, 13)
+        mkS_full = jnp.asarray(bk_i < bkf)
+        mkS_part = jnp.asarray(bk_i == bkf) if part else None
+        OffS_base = jnp.asarray(
+            OffS_base.reshape(3, srows, 3, 3, 1, 1).astype(np.float32))
+        OffS_tail = jnp.asarray(
+            OffS_tail.reshape(3, srows, 3, 3, 1, 1).astype(np.float32))
+        # The dense per-group extraction offset OffE (3, gv, M, Lk, 26)
+        # f32 (~0.2 MB/group) was re-fetched from HBM into VMEM on EVERY
+        # micro-batch step (trace: the two slice-start ops on it were 22%
+        # of device time).  It factors exactly: with k even, the parity
+        # of the wire cell h = (13m + j)*26 + c feeding output cell
+        # (J, i) -- (j, c) = divmod(26J + i, k) -- equals parity(i), so
+        # the offset value depends only on (band, parity(i)), and the
+        # (m, J, i) structure is just the h < H in-range mask.  Ship the
+        # (3, gv, 26) parity constant + (M, Lk, 26) bool mask (~10 KB,
+        # VMEM-resident) and combine them AROUND the data (a where) so
+        # XLA cannot constant-fold them back into the dense product.
         off_fold = []
         for k, lo, hi, _E in extract:
+            assert k % 2 == 0
             Lk = k // 2
             gv = hi - lo
-            OffE = np.zeros((3, gv, M, Lk, 26), dtype=np.float32)
-            for J in range(Lk):
-                for i in range(26):
-                    j, c = divmod(26 * J + i, k)
-                    for u in range(3):
-                        for vv in range(gv):
-                            OffE[u, vv, :, J, i] = \
-                                off_b[3 * u + lo + vv, :, j, c]
-            off_fold.append(jnp.asarray(OffE))
+            bands = 3 * np.arange(3)[:, None] + lo + np.arange(gv)
+            i26 = np.arange(26)
+            OffP = np.where((i26 & 1) == 0, pat[bands[..., None] % 6],
+                            pat[(3 + bands[..., None]) % 6]) \
+                .astype(np.float32)                          # (3, gv, 26)
+            j_, c_ = np.divmod(26 * np.arange(Lk)[:, None] + i26, k)
+            msk = ((13 * np.arange(M)[:, None, None] + j_) * 26 + c_
+                   < H)                                      # (M, Lk, 26)
+            dense = (OffP[:, :, None, None, :]
+                     * msk[None, None].astype(np.float32))
+            chk = np.stack([[off_b[3 * u + lo + vv][:, j_, c_]
+                             for vv in range(gv)] for u in range(3)])
+            assert np.array_equal(dense, chk.astype(np.float32))
+            off_fold.append((jnp.asarray(3.0 - OffP[:, :, None, None, :]),
+                             jnp.asarray(msk)))
         if b0 >= 0:
             off_col = jnp.asarray(off_np[b0, :H].astype(np.float32))
     p5 = pl._is_p5(hdr.profile, hdr.tile)
@@ -876,9 +922,15 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
             S = lax.dot_general(S8, dig, (((1, 2), (0, 5)), ((), ())),
                                 preferred_element_type=PT)
             S = S.astype(jnp.float32).reshape(3, srows, 3, 3, M, 13)
-            # folded descramble: subtract the offsets' syndrome
-            # contribution ((-S8 . off) mod 3, a host constant)
-            S = fmod3(S + OffS_c if fold_scr else S)       # (d', r8, u, v, ...)
+            # folded descramble: add the offsets' syndrome contribution
+            # ((-S8 . off) mod 3) -- regime-selected small constants (see
+            # the fold build above), data inside the wheres so XLA can't
+            # fold them back into the dense (.., M, 13) constant
+            if fold_scr:
+                St = (jnp.where(mkS_part, S + OffS_tail, S)
+                      if mkS_part is not None else S)
+                S = jnp.where(mkS_full, S + OffS_base, St)
+            S = fmod3(S)                                   # (d', r8, u, v, ...)
             # uniform bands: every grid block is checked, INCLUDING the
             # partial tail (real wire cells + zero pad) -- v2's check path
             # pads the grid to 16-block pages and checks all of them, so
@@ -892,11 +944,14 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
                                  preferred_element_type=jnp.int32)
             if fold_scr:
                 # folded descramble: the extraction is a permutation, so
-                # each output cell subtracts its own cell's offset
-                # (host-gathered constant; 3 - off keeps fmod3's operand
-                # non-negative)
-                pg = fmod3(pg.astype(jnp.float32)
-                           + (3.0 - off_fold[gi]))
+                # each output cell subtracts its own cell's offset.  The
+                # offset = parity constant x in-range mask (see the
+                # off_fold build above); 3 - off keeps fmod3's operand
+                # non-negative, and the where keeps the two small
+                # constants from constant-folding into the dense product
+                op_, mk_ = off_fold[gi]
+                pgf = pg.astype(jnp.float32)
+                pg = fmod3(jnp.where(mk_, pgf + op_, pgf))
             pg = pg.astype(jnp.int8)                       # (3, 3, gv, M, Lk, 26)
             if asm == "blk":
                 # merge only (M, Lk) -> grid block B = m*Lk + J; the 26
