@@ -248,7 +248,12 @@ def main():
                                                    rs_mode="check",
                                                    ok_per_sf=True,
                                                    raw_wire=raw_wire)
-    _l5, _d5, _e5, dec_fix_sf = pipeline._stream_fns(cfg, sf_batch,
+    # Repair micro-batch: the paged corrector's cost is dominated by a
+    # per-op-instance floor (~40 us/op/step, docs/PERF.md), so it scales
+    # with the lax.map STEP count, not the data -- one step over all 160
+    # dirty superframes beats two steps of 128 with 96 padding slots.
+    r_sfb = int(os.environ.get("T3_REPAIR_SFB", "0")) or sf_batch
+    _l5, _d5, _e5, dec_fix_sf = pipeline._stream_fns(cfg, r_sfb,
                                                      rs_mode="paged",
                                                      ok_per_sf=True)
 

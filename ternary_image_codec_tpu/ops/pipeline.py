@@ -1816,10 +1816,17 @@ def decode_stream_superframes(words, cfg: EncoderConfig, n_raw: int,
             # fused program's shape -- and its compile -- is quantized to
             # micro-batch multiples, exactly like _rebatch pads data;
             # duplicate scatter indices write identical decodes.
-            nb_pad = _ceil_div(bad.size, sf_batch) * sf_batch
+            # Repair micro-batch: the paged corrector pays a per-op-
+            # instance floor (~40 us/op/step, docs/PERF.md), so its cost
+            # scales with the lax.map STEP count -- quantize the dirty
+            # set to its own (smaller) batch so a handful of flagged
+            # superframes compiles and runs a single small step instead
+            # of a full sf_batch-wide one.
+            r_sfb = int(os.environ.get("T3_REPAIR_SFB", "0")) or sf_batch
+            nb_pad = _ceil_div(bad.size, r_sfb) * r_sfb
             bad_p = np.concatenate(
                 [bad, np.repeat(bad[-1:], nb_pad - bad.size)])
-            raw_T, ok = _repair_merge_fn(cfg, sf_batch)(
+            raw_T, ok = _repair_merge_fn(cfg, r_sfb)(
                 raw_T, words_T, jnp.asarray(bad_p))
     else:
         _l, _d, _enc, dec = _stream_fns(cfg, sf_batch, rs_mode=strategy)

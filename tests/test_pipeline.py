@@ -1,5 +1,7 @@
 """Profile pipeline roundtrip tests (port of selftest_api_roundtrip,
 old/include/ternary_image_codec_v6_min.hpp:1208-1230 -- must PASS here)."""
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -469,6 +471,16 @@ class TestSuperframeStreaming:
                                                      sf_batch=2)
         assert bool(ok)
         assert np.array_equal(np.asarray(out), raw)
+        # T3_REPAIR_SFB: the repair dispatch may ride its own (smaller)
+        # micro-batch than phase 1 -- bit-exact either way (the knob only
+        # changes batching/padding, docs/PERF.md per-step op floor)
+        os.environ["T3_REPAIR_SFB"] = "1"
+        try:
+            out1, ok1 = pipeline.decode_stream_superframes(corr, cfg, n_raw,
+                                                           sf_batch=2)
+        finally:
+            del os.environ["T3_REPAIR_SFB"]
+        assert bool(ok1) and np.array_equal(np.asarray(out1), raw)
 
     def test_period1_beacon_with_data_rejected(self):
         """words_period=1 gives the beacon band zero payload capacity; the
