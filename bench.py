@@ -44,9 +44,14 @@ def main():
     # tile cannot round-trip the header's mod-27 tile slots -- rejected
     # at encode, docs/DIVERGENCES.md)
     if os.environ.get("T3_BENCH_PROFILE", "p2") == "p5":
+        # T3_BENCH_TILE=WxH overrides the default 26x26 (P5 perf must hold
+        # across the legal tile space -- VERDICT round 3; e.g. 5x5, 13x7,
+        # 25x25 exercise the general id/rev fused path)
+        tw, th = map(int, os.environ.get("T3_BENCH_TILE", "26x26")
+                     .split("x"))
         cfg = EncoderConfig(profile=ProfileID.P5_RS26_22_2D,
                             uep=uep_luma_priority(), beacon=beacon,
-                            tile=Tile2D(26, 26))
+                            tile=Tile2D(tw, th))
     else:
         cfg = EncoderConfig(profile=ProfileID.P2_RS26_22,
                             uep=uep_luma_priority(), beacon=beacon)
@@ -237,6 +242,70 @@ def main():
     tracing.log_event("bench_stages", **tracing.stage_report())
     fps = 1.0 / dt
 
+    # ---- end-to-end: pixels -> words -> wire -> words -> pixels ----------
+    # The full frame path the reference's io_image entry takes
+    # (include/io_image.hpp:238-353): BT.601+quant ingest and the 2px/word9
+    # pack fused into the encode read (ops/wordcodec.ingest9_planes), and
+    # the words->RGB egress folded into the decode body
+    # (egress9_planes) -- so RGB pixels, not pre-packed words, are what
+    # crosses HBM.  Staged planar (3, 2, m) uint8, one frame + per-frame
+    # variant adds (cache-defeat, same trick as T3_BENCH_STAGE=device).
+    e2e_fps = None
+    if not os.environ.get("T3_BENCH_SKIP_E2E"):
+        from ternary_image_codec_tpu.ops import wordcodec
+        del batches
+        rgb_np = r.integers(0, 256, size=(n_sf * sf, 3, 2)).astype(np.uint8)
+        rgb_chunks = jnp.asarray(np.ascontiguousarray(
+            rgb_np.reshape(n_sf, sf, 3, 2).transpose(0, 2, 3, 1)))
+        # (n_sf, 3, 2, sf)
+
+        def _ingest(src, sidx, v):
+            px = src[sidx] + v.astype(jnp.uint8)     # uint8 wraps mod 256
+            return wordcodec.ingest9_planes(px)      # (9, sf)
+
+        def _egress_sum(out):                        # (9, out_words)
+            rgbp = wordcodec.egress9_planes(out[:, :sf])
+            return jnp.sum(rgbp.astype(jnp.int32))
+
+        rt_e2e = pipeline.roundtrip_stream_fn(
+            cfg, sf_batch, rs_mode="check", raw_wire="planes",
+            fold=_egress_sum, feed=(rgb_chunks, _ingest))
+
+        @jax.jit
+        def step_e2e(sidx, v):
+            chks, ok = rt_e2e(sidx, v)
+            return jnp.all(ok), jnp.sum(chks)
+
+        @jax.jit
+        def direct_sum(v1):                          # no-codec oracle
+            def one(c, v):
+                return jnp.sum(wordcodec.egress9_planes(
+                    wordcodec.ingest9_planes(c + v.astype(jnp.uint8)))
+                    .astype(jnp.int32))
+            return jnp.sum(jax.vmap(one)(rgb_chunks, v1))
+
+        def _stage_e2e(bi):
+            v = ((np.repeat(np.arange(1, iters + 1, dtype=np.int64), n_sf)
+                  + iters * bi) % 256).astype(np.int8)
+            return (jnp.asarray(np.tile(np.arange(n_sf, dtype=np.int32),
+                                        iters)), jnp.asarray(v))
+        eb = jax.block_until_ready([_stage_e2e(bi) for bi in range(3)])
+        ok_e, chk_e = step_e2e(*eb[0])               # compile + warm
+        assert bool(ok_e), "e2e roundtrip failed"
+        # codec is lossless on words, so the codec-path egress checksum
+        # must equal the no-codec ingest->egress oracle
+        exp_e = sum(int(direct_sum(eb[0][1][i * n_sf:(i + 1) * n_sf]))
+                    for i in range(iters))
+        assert (exp_e - int(chk_e)) % (1 << 32) == 0, "e2e checksum"
+        t0 = time.perf_counter()
+        rets = [step_e2e(*b) for b in eb[1:]]
+        for ok_e, chk_e in rets:
+            _ = float(chk_e)
+        e2e_dt = (time.perf_counter() - t0) / (iters * len(rets))
+        assert all(bool(o) for o, _c in rets)
+        e2e_fps = round(1.0 / e2e_dt, 3)
+        del eb, rgb_chunks
+
     # ---- dirty-stream decode (scattered corruption, two-phase repair) ----
     # Realistic dirty workload: D corrupted superframes per frame (~1%).
     # Phase 1 = the same per-superframe-flagging check decode; phase 2 =
@@ -252,7 +321,8 @@ def main():
     # per-op-instance floor (~40 us/op/step, docs/PERF.md), so it scales
     # with the lax.map STEP count, not the data -- one step over all 160
     # dirty superframes beats two steps of 128 with 96 padding slots.
-    r_sfb = int(os.environ.get("T3_REPAIR_SFB", "0")) or sf_batch
+    r_sfb = int(os.environ.get("T3_REPAIR_SFB", "0"))
+    r_sfb = r_sfb if r_sfb > 0 else sf_batch
     _l5, _d5, _e5, dec_fix_sf = pipeline._stream_fns(cfg, r_sfb,
                                                      rs_mode="paged",
                                                      ok_per_sf=True)
@@ -282,9 +352,12 @@ def main():
         return outs, jnp.all(okf), jnp.sum(outs[0, 0, :8].astype(jnp.int32))
 
     @jax.jit
-    def corrupt_fn(ws, fi, si):
-        v = ws[fi, si, 4, 100]
-        return ws.at[fi, si, 4, 100].set((v + 1) % 27)
+    def corrupt_fn(ws, fi, si, bi_, pi_, dlt):
+        # scattered multi-error damage: E symbol errors per dirty
+        # superframe across random bands/positions (multiple 16-block
+        # pages per repair), nonzero deltas so every event corrupts
+        v = ws[fi, si, bi_, pi_]
+        return ws.at[fi, si, bi_, pi_].set(((v + dlt) % 27).astype(ws.dtype))
 
     def dec_two_phase(ws):
         outs, oks, chk = dec_frames_check(ws)
@@ -302,20 +375,64 @@ def main():
             "value": round(fps, 3),
             "unit": "frames/s/chip",
             "vs_baseline": round(fps / 30.0, 3),
+            "e2e_fps": e2e_fps,
         }))
         return
 
-    del batches  # ~3.6 GB HBM; the dirty phase rebuilds inputs per set
+    if not os.environ.get("T3_BENCH_SKIP_E2E"):
+        pass        # batches already freed by the e2e phase
+    else:
+        del batches  # ~3.6 GB HBM; the dirty phase rebuilds inputs per set
 
-    D = 20                                       # dirty superframes/frame
+    # Damage model (VERDICT round 3): D dirty superframes per frame
+    # (T3_BENCH_DIRTY_D, default 20 ~ 1% of the 2025-superframe stream;
+    # sweep 1%/5%/20% via 20/101/405), each carrying E scattered symbol
+    # errors (T3_BENCH_DIRTY_E, default 8) across random bands and body
+    # positions -- multiple dirty pages and several BM corrections per
+    # repair, instead of round 2's single fixed-position flip.
+    # T3_BENCH_DIRTY_OVERCAP=F additionally damages a fraction F of the
+    # dirty superframes BEYOND capacity (t+1 = 3 errors inside one
+    # codeword of a k=22 band): those repairs run the full chain and
+    # (correctly) flag ok=False, timing the fail-safe path.
+    D = min(int(os.environ.get("T3_BENCH_DIRTY_D", "20")), n_sf)
+    E = int(os.environ.get("T3_BENCH_DIRTY_E", "8"))
+    overcap = float(os.environ.get("T3_BENCH_DIRTY_OVERCAP", "0"))
     # dirty phase holds clean+dirty word sets live -- cap its frame batch
     # at the proven HBM envelope (iters=8 full run, docs/PERF.md);
     # T3_BENCH_DIRTY_ITERS overrides for envelope re-probes
     d_iters = min(iters, int(os.environ.get("T3_BENCH_DIRTY_ITERS", "8")))
     r2 = np.random.default_rng(1)
-    fi = np.repeat(np.arange(d_iters), D)
-    si = np.stack([r2.choice(n_sf, D, replace=False)
-                   for _ in range(d_iters)]).reshape(-1)
+    total_w = _lay.total_words
+    fi_sf = np.repeat(np.arange(d_iters), D)
+    si_sf = np.stack([r2.choice(n_sf, D, replace=False)
+                      for _ in range(d_iters)]).reshape(-1)
+    # E scattered events per dirty superframe: distinct body positions,
+    # DISTINCT bands (E <= 9) so each band-group sees <= g dirty pages --
+    # within the paged corrector's per-group capacity C = max(6, g);
+    # heavier concentration is the overcap model's job (repair overflow
+    # is fail-safe ok=False by design, not a timing target)
+    E = min(E, 9)
+    fi = np.repeat(fi_sf, E)
+    si = np.repeat(si_sf, E)
+    bi_ = np.stack([r2.choice(9, E, replace=False)
+                    for _ in range(len(fi_sf))]).reshape(-1)
+    pi_ = np.stack([
+        pipeline.HEADER_WORDS
+        + r2.choice(total_w - pipeline.HEADER_WORDS, E, replace=False)
+        for _ in range(len(fi_sf))]).reshape(-1)
+    dlt = r2.integers(1, 27, size=fi.shape)
+    n_over = int(round(overcap * len(fi_sf)))
+    if n_over:
+        # beyond capacity: 3 errors in ONE codeword of band 1 (k=22, t=2)
+        # of the first n_over dirty superframes -- block 2, coeffs 0..2
+        ob = pipeline.HEADER_WORDS + 2 * 26
+        fi = np.concatenate([fi, np.repeat(fi_sf[:n_over], 3)])
+        si = np.concatenate([si, np.repeat(si_sf[:n_over], 3)])
+        bi_ = np.concatenate([bi_, np.tile([1, 1, 1], n_over)])
+        pi_ = np.concatenate(
+            [pi_, np.tile([ob, ob + 1, ob + 2], n_over)])
+        dlt = np.concatenate([dlt, r2.integers(1, 27, size=3 * n_over)])
+    dmg = tuple(jnp.asarray(a) for a in (fi, si, bi_, pi_, dlt))
 
     def _timed(ws):
         t0 = time.perf_counter()
@@ -338,15 +455,18 @@ def main():
             w = enc_frames(b)
             w.block_until_ready()
             del b
-            wd = corrupt_fn(w, jnp.asarray(fi), jnp.asarray(si))
+            wd = corrupt_fn(w, *dmg)
             wd.block_until_ready()
             if bi == 0:                          # compile + verify repair
                 outs_d, ok_d, _chkd = dec_two_phase(wd)
-                assert ok_d, "dirty repair failed"
-                got = np.asarray(outs_d[0, :, :, :sf])[0].T[:16]
-                exp = np.asarray((chunks_np + 1) % 27)[0]
-                exp = (exp.T if raw_wire == "planes" else exp)[:16]
-                assert np.array_equal(got, exp), "dirty repair wrong data"
+                # beyond-capacity superframes (overcap > 0) correctly
+                # flag ok=False; the correctable-only default must repair
+                assert ok_d or n_over, "dirty repair failed"
+                if not n_over:
+                    got = np.asarray(outs_d[0, :, :, :sf])[0].T[:16]
+                    exp = np.asarray((chunks_np + 1) % 27)[0]
+                    exp = (exp.T if raw_wire == "planes" else exp)[:16]
+                    assert np.array_equal(got, exp), "dirty repair wrong"
                 del outs_d
             t_clean = min(t_clean, _timed(w))
             t_dirty = min(t_dirty, _timed(wd))
@@ -364,8 +484,10 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps / 30.0, 3),
+        "e2e_fps": e2e_fps,
         "dirty_fps": dirty_fps,
         "dirty_over_clean_decode": dirty_ratio,
+        "dirty_model": {"D": D, "E": E, "overcap": overcap},
     }))
 
 

@@ -318,19 +318,15 @@ def _unpack702():
     return C
 
 
-def _pm_offsets(H: int, seed, sign: float, order=None):
+def _pm_offsets(H: int, seed, sign: float):
     """Scrambler offsets for the (27, H) plane-major body grid.
 
     Cell (h, band b) is the (h*9+b)-th scrambled cell; the offset sequence
     has period 6 (ops/scramble.py), and (9h+b) mod 6 = (3*(h&1) + b) mod 6,
     so the whole (27, H) offset field is a parity select between two static
-    per-row constants -- no big iota arithmetic.
-
-    order: optional (27,) array of ORIGINAL row ids (3*band + digit) when
-    the caller keeps the grid in a permuted (slab) row order -- the
-    permutation rides this host-side constant, never a device gather."""
+    per-row constants -- no big iota arithmetic."""
     pat = scramble.offsets(6, seed.a, seed.b, seed.s0, dtype=jnp.float32)
-    b_of_row = (np.arange(27) if order is None else np.asarray(order)) // 3
+    b_of_row = np.arange(27) // 3
     even_idx = np.asarray(b_of_row % 6)
     odd_idx = np.asarray((3 + b_of_row) % 6)
     A = pat[even_idx] * sign                      # (27,)
@@ -380,8 +376,7 @@ def _encode_parts(layout: EncodeLayout, raw_wire: str = "words"):
     Dispatches to the plane-major implementation (digit axis leading, word
     axis minor -- measured ~16x cheaper HBM tiling, tools/hbm_probe.py).
     The P5 2D-interleave profile shares it (the symbol permutation runs on
-    the stream-plane (3, L) layout inside to_cols); T3_P5_IMPL=cm keeps the
-    round-1 coeff-minor path for A/B.
+    the stream-plane (3, L) layout inside to_cols).
 
     raw_wire="planes": to_cols takes (9, n) RAW planes instead of (n, 9)
     words -- a word-major int8 input pads its 9-lane minor 14x on every
@@ -389,14 +384,14 @@ def _encode_parts(layout: EncodeLayout, raw_wire: str = "words"):
 
     Returns (to_cols, rs_stage, build_words, fmt): fmt "pm" build_words
     emits wire-planes (9, total_words); fmt "cm" emits (total_words, 9)."""
-    if (_is_p5(layout.cfg.profile, layout.cfg.tile)
-            and os.environ.get("T3_P5_IMPL", "pm") == "cm"):
-        return _encode_parts_cm(layout, raw_wire) + ("cm",)
     return _encode_parts_pm(layout, raw_wire) + ("pm",)
 
 
 @functools.cache
 def _encode_parts_cm(layout: EncodeLayout, raw_wire: str = "words"):
+    """Round-1 coeff-minor encode, kept as the independent TEST ORACLE for
+    the stream spec (tests/test_pipeline.py A/Bs it against the production
+    plane-major path) -- not dispatched in production."""
     cfg, geom = layout.cfg, layout.geom
     n_sy = layout.n_sy
     beacon = cfg.beacon
@@ -509,7 +504,6 @@ def _encode_parts_pm(layout: EncodeLayout, raw_wire: str = "words"):
     bsym_dig = np.asarray([geom.beacon_sym % 3, (geom.beacon_sym // 3) % 3,
                            (geom.beacon_sym // 9) % 3], dtype=np.int8)
 
-    cols_impl = os.environ.get("T3_ENC_COLS", "dot702")
     p5 = _is_p5(cfg.profile, cfg.tile)
     if p5:
         # decoder-visible stream length; both sides permute at this length
@@ -530,47 +524,13 @@ def _encode_parts_pm(layout: EncodeLayout, raw_wire: str = "words"):
                           q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0))],
                          axis=-1).astype(jnp.int8).reshape(-1, 27)
 
-    def _digits_dm(raw_words):
-        # words -> D-MAJOR trit planes (27, sf) [row 9d+b = digit d of
-        # symbol b, col = word]: digit extraction stays elementwise on the
-        # (9, sf) planes and the three digit planes CONCAT along the
-        # leading axis.  No (sf, 9, 3)-minor stack: that layout's 128-lane
-        # tile padding measured ~29 ms of the 57 ms encode (probe E0).
-        s = (raw_words if raw_wire == "planes" else raw_words.T) \
-            .astype(jnp.float32)                               # (9, sf)
-        q1 = jnp.floor(s * (1.0 / 3.0))
-        q2 = jnp.floor(s * (1.0 / 9.0))
-        return jnp.concatenate([s - 3.0 * q1, q1 - 3.0 * q2,
-                                q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0))],
-                               axis=0).astype(jnp.int8)        # (27, sf)
-
     def to_cols(raw_words):
         # words -> (27, max_need) grid: trit 27j + 3b + d of the useful-trit
         # stream is digit d of stream symbol 9j + b, so the grid is the
-        # 26-trits/word stream re-strided to 27 rows.  Default "dot702":
-        # the whole 26<->27 re-stride is ONE 702-period permutation
-        # contraction on the MXU (blocks of 27 words -> 26 grid columns,
-        # mirror of the decode-side _unpack702); "chain" keeps the
-        # reshape/transpose chain for A/B (T3_ENC_COLS).
-        if cols_impl == "dmaj" and not p5 and max_need:
-            # D-MAJOR digits + the (702, 27, 27) permutation contraction:
-            # the operand "transpose" (word-block split) rides the
-            # dot_general dimension numbers; output ordering matches
-            # dot702 so the downstream grid relayout is shared.
-            nblk7d = -(-max_need // 26)
-            pl = _digits_dm(raw_words)                         # (27, sf)
-            pl = jnp.pad(pl, ((0, 0), (0, nblk7d * 27 - pl.shape[1])))
-            X3 = pl.reshape(27, nblk7d, 27)
-            dt = {"i8": (jnp.int8, jnp.int32), "f32": (jnp.float32,) * 2,
-                  "bf16": (jnp.bfloat16,) * 2}[
-                      os.environ.get("T3_COLS_DOT", "i8")]
-            Y = lax.dot_general(jnp.asarray(_pack702_dm(), dtype=dt[0]),
-                                X3.astype(dt[0]),
-                                (((1, 2), (0, 2)), ((), ())),
-                                preferred_element_type=dt[1])  # (702, nblk7)
-            grid = Y.astype(jnp.int8).reshape(27, 26, nblk7d) \
-                .swapaxes(1, 2).reshape(27, 26 * nblk7d)
-            return grid[:, :max_need]
+        # 26-trits/word stream re-strided to 27 rows -- the whole 26<->27
+        # re-stride is ONE 702-period permutation contraction on the MXU
+        # (blocks of 27 words -> 26 grid columns, mirror of the
+        # decode-side _unpack702).
         t27 = _digits27(raw_words)                             # (sf, 27)
         if p5:
             # P5: interleave the symbol stream in stream-plane (3, L)
@@ -584,23 +544,16 @@ def _encode_parts_pm(layout: EncodeLayout, raw_wire: str = "words"):
                          ((0, 0), (0, NUM_BANDS * max_need - L_out5)))
             return st.reshape(3, max_need, NUM_BANDS) \
                 .transpose(2, 0, 1).reshape(27, max_need)
-        if cols_impl == "chain" or max_need == 0:
+        if max_need == 0:
             flat = t27[:, :26].reshape(-1)
             flat = jnp.pad(flat, (0, 27 * max_need - flat.shape[0]))
             return flat.reshape(max_need, 27).T                # (27, m)
         nblk7 = -(-max_need // 26)
         t27 = jnp.pad(t27, ((0, nblk7 * 27 - t27.shape[0]), (0, 0)))
         X2 = t27.reshape(nblk7, 729)                           # view: 27w+t
-        # T3_COLS_DOT picks the dot dtype (i8 accumulates int32 -- a 4x
-        # HBM output vs the int8 the pipeline keeps; f32/bf16 are exact
-        # for trits and may take a faster MXU path -- chip A/B)
-        dt = {"i8": (jnp.int8, jnp.int32), "f32": (jnp.float32,) * 2,
-              "bf16": (jnp.bfloat16,) * 2}[
-                  os.environ.get("T3_COLS_DOT", "i8")]
-        Y = lax.dot_general(jnp.asarray(_pack702(), dtype=dt[0]),
-                            X2.astype(dt[0]),
+        Y = lax.dot_general(jnp.asarray(_pack702()), X2,
                             (((1,), (1,)), ((), ())),
-                            preferred_element_type=dt[1])      # (702, nblk7)
+                            preferred_element_type=jnp.int32)  # (702, nblk7)
         grid = Y.astype(jnp.int8).reshape(27, 26, nblk7) \
             .swapaxes(1, 2).reshape(27, 26 * nblk7)
         return grid[:, :max_need]
@@ -610,46 +563,12 @@ def _encode_parts_pm(layout: EncodeLayout, raw_wire: str = "words"):
     for b in active:
         if b != bc_band:
             by_k.setdefault(geom.ks[b], []).append(b)
-    # T3_ENC_ASM=slab: keep per-k-group SLABS end to end -- the grid stays
-    # in slab row order [k-groups, beacon, empty bands], and the
-    # band-order permutation rides host-side constants (scrambler offset
-    # rows, a final 9-row reorder) instead of data-movement ops.  The
-    # round-1 slab experiment permuted the (27, H) grid with a device
-    # gather and regressed; this variant has NO grid gather.
-    slab_asm = os.environ.get("T3_ENC_ASM", "bands") == "slab" and not p5
-
-    # T3_ENC_ASM=grp: when the k-groups are residue classes mod 3 (the
-    # default uep_luma_priority layout, no beacon), group extraction is a
-    # reshape+SLICE of the (3, v, 3, m) band split and group codewords
-    # concatenate back along the v axis in true band order -- no device
-    # row gather (the slab killer) and 2 pads/1 concat instead of 9/9.
-    res_grp = (_residue_groups(by_k, geom.blocks)
-               if (os.environ.get("T3_ENC_ASM", "bands") == "grp"
-                   and not p5 and bc_band < 0)
-               else None)
-
-    # T3_ENC_RS=parity: the code is systematic (decode reads coeffs
-    # 0..k-1 as data, _decode_body_fn_pm2), so the G2 dot's first k output
-    # coeffs just recompute the input -- emit ONLY the r parity coeffs
-    # (a (3r, 3, k) dot, 26/r x fewer MXU rows and no full-codeword int32
-    # materialization) and splice data straight from the grid.
-    parity_rs = os.environ.get("T3_ENC_RS", "full") == "parity"
 
     def _rs_one(Ug, k, nblk, g):
         """(g, 3, nblk, k) data -> (g, 3, nblk, 26) codewords."""
         from jax import lax as _lax
         from .gf27 import fmod3
         M = rs._matrices_pm(k)
-        if parity_rs:
-            r_ = rs.N - k
-            Gp = np.asarray(M["G2"]).reshape(3, rs.N, 3, k)[:, k:] \
-                .reshape(3 * r_, 3, k)
-            y = _lax.dot_general(jnp.asarray(Gp, dtype=jnp.int8), Ug,
-                                 (((1, 2), (1, 3)), ((), ())),
-                                 preferred_element_type=jnp.int32)
-            par = fmod3(y.astype(jnp.float32)).astype(jnp.int8) \
-                .reshape(3, r_, g, nblk).transpose(2, 0, 3, 1)
-            return jnp.concatenate([Ug, par], axis=-1)   # (g,3,nblk,26)
         y = _lax.dot_general(jnp.asarray(M["G2"], dtype=jnp.int8), Ug,
                              (((1, 2), (1, 3)), ((), ())),
                              preferred_element_type=jnp.int32)
@@ -660,26 +579,12 @@ def _encode_parts_pm(layout: EncodeLayout, raw_wire: str = "words"):
         """Group-level RS encode: one dot_general per distinct k over the
         grid's band rows directly (non-beacon bands share the same block
         count) -- no per-band slicing/concat chains."""
-        if res_grp is not None:
-            # residue-class groups: extraction is a strided slice of the
-            # (3, 3, 3, m) band split -- no row gather
-            U5 = cols.reshape(3, 3, 3, cols.shape[1])
-            nblk = geom.blocks[0]
-            return tuple(
-                _rs_one(U5[:, lo:hi, :, :nblk * k]
-                        .reshape(3 * (hi - lo), 3, nblk, k), k, nblk,
-                        3 * (hi - lo))
-                for k, lo, hi in res_grp)                # v-ordered
         enc = {}
-        group_slabs = []
         for k, bands in by_k.items():
             nblk = geom.blocks[bands[0]]
             rows = np.asarray([3 * b + d for b in bands for d in range(3)])
             Ug = cols[rows, :nblk * k].reshape(len(bands), 3, nblk, k)
             cw = _rs_one(Ug, k, nblk, len(bands))  # (g, 3, nblk, 26)
-            if slab_asm:
-                group_slabs.append(cw)
-                continue
             for gi, b in enumerate(bands):
                 enc[b] = cw[gi]
         if bc_band in active:
@@ -687,9 +592,6 @@ def _encode_parts_pm(layout: EncodeLayout, raw_wire: str = "words"):
             data = cols[3 * b:3 * b + 3, :needs[b]] \
                 .reshape(3, geom.blocks[b], geom.ks[b])
             enc[b] = rs.encode_pm_blocks(data, geom.ks[b])
-        if slab_asm:
-            return tuple(group_slabs) + ((enc[bc_band],)
-                                         if bc_band in active else ())
         return tuple(enc[b] for b in active)      # (3, nblk, 26) per band
 
     def _beacon_col(stream, r):
@@ -707,70 +609,25 @@ def _encode_parts_pm(layout: EncodeLayout, raw_wire: str = "words"):
         return jnp.where(is_b[None, :], jnp.asarray(bsym_dig)[:, None],
                          stream[:, payload_idx])
 
-    def _finish(grid, order, r):
-        """Scramble + pack a (27, H) grid whose rows are the ORIGINAL rows
-        order[i]; emits wire-planes (9, total) in band order."""
-        off = _pm_offsets(geom.H, cfg.seed, 1.0, order=order)
+    def _finish(grid, r):
+        """Scramble + pack a (27, H) grid (rows 3b + d); emits wire-planes
+        (9, total) in band order."""
+        off = _pm_offsets(geom.H, cfg.seed, 1.0)
         scr = fmod3(grid.astype(jnp.float32) + off + 3.0).astype(jnp.int8)
         if beacon.enabled:
-            rows27 = np.arange(27) if order is None else np.asarray(order)
-            row_hot = rows27 // 3 == beacon.band_slot
+            row_hot = np.arange(27) // 3 == beacon.band_slot
             is_b = r % max(beacon.words_period, 1) == 0
             scr = jnp.where(jnp.asarray(row_hot)[:, None] & is_b[None, :],
                             grid, scr)
         # wire-planes layout (9, total): the word axis stays minor -- a
         # (total, 9) write pads 9 -> 128 lanes (14x HBM bytes)
-        if order is None:
-            body_T = scr[0::3] + 3 * scr[1::3] + 9 * scr[2::3]  # (9, H)
-        else:
-            # slab order keeps each band's 3 digit rows adjacent: pack per
-            # band triple, then ONE tiny 9-row reorder to wire band order
-            t = scr.reshape(NUM_BANDS, 3, geom.H)
-            packed = t[:, 0] + 3 * t[:, 1] + 9 * t[:, 2]        # (9, H)
-            inv9 = np.empty(NUM_BANDS, dtype=np.int64)
-            inv9[np.asarray(order)[::3] // 3] = np.arange(NUM_BANDS)
-            body_T = packed[inv9]
+        body_T = scr[0::3] + 3 * scr[1::3] + 9 * scr[2::3]  # (9, H)
         return jnp.concatenate(
             [jnp.asarray(layout.header_words.T, dtype=jnp.int8), body_T],
             axis=1)                                           # (9, total)
 
     def build_words(enc_tuple):
         r = jnp.arange(geom.H, dtype=jnp.int32)
-        if res_grp is not None:
-            # group codewords (g, 3, nblk, 26) -> (3, nv, 3, nblk*26),
-            # pad the column axis to H, concat along v: the (3, 3, 3, H)
-            # result reshapes to the (27, H) grid in true band order
-            # (row 9u + 3v + d = 3*(3u+v) + d) with no permutation.
-            pieces = []
-            for cw, (k, lo, hi) in zip(enc_tuple, res_grp):
-                nv = hi - lo
-                p = cw.reshape(3, nv, 3, -1)
-                pieces.append(jnp.pad(
-                    p, ((0, 0), (0, 0), (0, 0),
-                        (0, geom.H - p.shape[-1]))))
-            grid = jnp.concatenate(pieces, axis=1).reshape(27, geom.H)
-            return _finish(grid, None, r)
-        if slab_asm:
-            slabs, order = [], []
-            for gi, (k, bands) in enumerate(by_k.items()):
-                g = len(bands)
-                slab = enc_tuple[gi].reshape(3 * g, -1)   # (3g, nblk*26)
-                slabs.append(jnp.pad(
-                    slab, ((0, 0), (0, geom.H - slab.shape[1]))))
-                order += [3 * b + d for b in bands for d in range(3)]
-            if bc_band >= 0:
-                stream = (enc_tuple[len(by_k)].reshape(3, -1)
-                          if bc_band in active
-                          else jnp.zeros((3, 0), dtype=jnp.int8))
-                slabs.append(_beacon_col(stream, r))
-                order += [3 * bc_band + d for d in range(3)]
-            covered = {o // 3 for o in order}
-            for b in range(NUM_BANDS):
-                if b not in covered:
-                    slabs.append(jnp.zeros((3, geom.H), dtype=jnp.int8))
-                    order += [3 * b + d for d in range(3)]
-            grid = jnp.concatenate(slabs, axis=0)         # (27, H) slab rows
-            return _finish(grid, np.asarray(order), r)
         enc = dict(zip(active, enc_tuple))
         out_cols = []
         for b in range(NUM_BANDS):
@@ -784,7 +641,7 @@ def _encode_parts_pm(layout: EncodeLayout, raw_wire: str = "words"):
                     ((0, 0), (0, geom.usable[b] - stream.shape[1])))
             out_cols.append(col)
         grid = jnp.concatenate(out_cols, axis=0)          # (27, H)
-        return _finish(grid, None, r)
+        return _finish(grid, r)
 
     return to_cols, rs_stage, build_words
 
@@ -1046,21 +903,21 @@ def _decode_body_fn(layout: DecodeLayout, rs_mode: str = "paged",
     fastest read path for storage already protected end-to-end).
 
     P5 shares the plane-major decoder (its deinterleave runs on the
-    stream-plane layout in the assembly stage); T3_P5_IMPL=cm keeps the
-    round-1 coeff-minor path for A/B.
+    stream-plane layout in the assembly stage).
     """
-    if (_is_p5(layout.hdr.profile, layout.hdr.tile)
-            and os.environ.get("T3_P5_IMPL", "pm") == "cm"):
-        return _decode_body_fn_cm(layout, rs_mode, wire)
     if os.environ.get("T3_PIPE_V3", "1") == "1":
         from . import pipeline_v3
         # paged repair stays on the v2 machinery by default: the v3 paged
         # path is bit-exact (tests/test_pipeline_v3.py) but measured
         # SLOWER on the chip dirty-stream bench (27.0 vs ~28.9 dirty fps,
-        # docs/PERF.md); T3_PAGED_V3=1 selects it for A/B
+        # docs/PERF.md); T3_PAGED_V3=1 selects it for A/B.  Full-mode
+        # (unconditional chain) rides v3 by default since round 3
+        # (T3_FULL_V3=0 forces v2 for A/B).
         v3_ok = pipeline_v3.decode_supported(layout, rs_mode) and (
             rs_mode != "paged"
-            or os.environ.get("T3_PAGED_V3", "0") == "1")
+            or os.environ.get("T3_PAGED_V3", "0") == "1") and (
+            rs_mode != "full"
+            or os.environ.get("T3_FULL_V3", "1") == "1")
         if v3_ok:
             fn3 = pipeline_v3.check_decode_fn_v3(layout, rs_mode)
 
@@ -1076,6 +933,9 @@ def _decode_body_fn(layout: DecodeLayout, rs_mode: str = "paged",
 
 @functools.cache
 def _decode_body_fn_cm(layout: DecodeLayout, rs_mode: str, wire: str):
+    """Round-1 coeff-minor decode, kept as the independent TEST ORACLE
+    for the stream spec (tests/test_pipeline.py) -- not dispatched in
+    production."""
     pre, post, meta, _fmt = _decode_parts_cm(layout)
     op = ((lambda c, k: rs.decode_dig_paged(c, k, page=32))
           if rs_mode == "paged" else rs.decode_dig)
@@ -1134,25 +994,12 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
     for b in range(NUM_BANDS):
         if b != bc_band and geom.blocks[b]:
             by_k.setdefault(geom.ks[b], []).append(b)
-    # one r=8 syndrome matrix serves every band; T3_V3_SROWS=max trims it
-    # to the uniform groups' max r = 26-k (rows >= a group's own r were
-    # always sliced away before use; the beacon band checks separately)
-    rmax_g = max((rs.N - k for k in by_k), default=8)
-    srows = (rmax_g if os.environ.get("T3_V3_SROWS", "8") == "max" else 8)
+    # one r=8 syndrome matrix serves every band (trimming it to the
+    # groups' max r measured NEUTRAL on chip -- docs/PERF.md)
+    srows = 8
     S8 = np.asarray(rs._matrices_pm(18)["S2"]) \
         .reshape(3, 8, 3, rs.N)[:, :srows] \
         .reshape(3 * srows, 3, rs.N)                     # (3*srows, 3, 26)
-
-    # T3_DEC_DIG=dmaj: build the digit grid D-MAJOR (27, H_p), row 9d+b --
-    # the three descrambled digit planes CONCAT along the leading axis
-    # instead of the (9, 3, H)-minor stack (its 32-sublane tile padding
-    # measured ~30 ms/frame of the 40 ms check decode, prefix probe D0).
-    # Syndromes contract straight off the (3, 9, nblk, 26) view via
-    # dot_general dimension numbers; the assembly dot's row order rides
-    # the _unpack702_bw CONSTANT's rows.  check/none modes only (the
-    # repair dispatch keeps the band-major layout), no beacon, no P5.
-    dmaj = (os.environ.get("T3_DEC_DIG", "bands") == "dmaj"
-            and not p5 and bc_band < 0 and rs_mode in ("check", "none"))
 
     def fn_planes(body_T):                               # (9, H)
         wT = jnp.pad(body_T, ((0, 0), (0, H_p - H))).astype(jnp.float32)
@@ -1162,137 +1009,55 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
                   q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0)))
         off = _pm_offsets(H, hdr.seed, -1.0)
         off = jnp.pad(off, ((0, 0), (0, H_p - H)))  # zero offsets past H
-        if dmaj:
-            dig = U = None
-            D = jnp.concatenate(
-                [fmod3(p + off[d::3] + 3.0).astype(jnp.int8)
-                 for d, p in enumerate(planes)], axis=0)   # (27, H_p)
-            D4 = D.reshape(3, NUM_BANDS, H_p)[:, :, :nblk_p * rs.N] \
-                .reshape(3, NUM_BANDS, nblk_p, rs.N)
-            if rs_mode != "none":
-                S_all = lax.dot_general(
-                    jnp.asarray(S8, dtype=jnp.int8), D4,
-                    (((1, 2), (0, 3)), ((), ())),
-                    preferred_element_type=jnp.int32)    # (24, 9, nblk)
-                S_all = fmod3(S_all.astype(jnp.float32)).astype(jnp.int8) \
-                    .reshape(3, srows, NUM_BANDS, nblk_p)
-        else:
-            D4 = None
-            dig = jnp.stack(
-                [fmod3(p + off[d::3] + 3.0).astype(jnp.int8)
-                 for d, p in enumerate(planes)], axis=1).reshape(27, H_p)
-
-            U = dig.reshape(NUM_BANDS, 3, H_p)[:, :, :nblk_p * rs.N] \
-                .reshape(NUM_BANDS, 3, nblk_p, rs.N)
-            if rs_mode != "none":
-                S_all = lax.dot_general(
-                    jnp.asarray(S8, dtype=jnp.int8), U,
-                    (((1, 2), (1, 3)), ((), ())),
-                    preferred_element_type=jnp.int32)    # (24, 9, nblk)
-                S_all = fmod3(S_all.astype(jnp.float32)).astype(jnp.int8) \
-                    .reshape(3, srows, NUM_BANDS, nblk_p)
-
-        # T3_DEC_M27=slab: build the (27, max_dp) assembly input as 2-3
-        # k-group SLABS in slab row order; the band-order permutation rides
-        # the _unpack702_bw CONSTANT's rows (host-side), not a device
-        # gather.  (The round-1 slab experiment gathered the grid rows on
-        # device and regressed -- this variant moves no data.)
-        slab_m27 = (os.environ.get("T3_DEC_M27", "bands") == "slab"
-                    and not p5 and not dmaj
-                    and os.environ.get("T3_DEC_ASM", "v2") != "v1")
-        # T3_DEC_M27=grp: residue-class k-groups (see _residue_groups) --
-        # group extraction is a strided slice of the (3, 3, 3, ...) band
-        # split (no U[barr]/S_all[:, :, barr] gathers) and group pieces
-        # concat back along the v axis in TRUE band order (no slab
-        # permutation, 2 pads/1 concat instead of 9/9).
-        grp_of = None
-        if (os.environ.get("T3_DEC_M27", "bands") == "grp"
-                and not p5 and bc_band < 0 and rs_mode != "paged"):
-            rg = _residue_groups(by_k, geom.blocks)
-            if rg is not None:
-                grp_of = {k: (lo, hi) for k, lo, hi in rg}
-        if grp_of is not None:
-            if dmaj:
-                D5 = D4.reshape(3, 3, 3, nblk_p, rs.N)   # (d, u, v, ...)
-            else:
-                U5 = U.reshape(3, 3, 3, nblk_p, rs.N)    # (u, v, d, ...)
-            S5 = (S_all.reshape(3, srows, 3, 3, nblk_p)
-                  if rs_mode != "none" else None)
+        dig = jnp.stack(
+            [fmod3(p + off[d::3] + 3.0).astype(jnp.int8)
+             for d, p in enumerate(planes)], axis=1).reshape(27, H_p)
+        U = dig.reshape(NUM_BANDS, 3, H_p)[:, :, :nblk_p * rs.N] \
+            .reshape(NUM_BANDS, 3, nblk_p, rs.N)
+        if rs_mode != "none":
+            S_all = lax.dot_general(
+                jnp.asarray(S8, dtype=jnp.int8), U,
+                (((1, 2), (1, 3)), ((), ())),
+                preferred_element_type=jnp.int32)        # (24, 9, nblk)
+            S_all = fmod3(S_all.astype(jnp.float32)).astype(jnp.int8) \
+                .reshape(3, srows, NUM_BANDS, nblk_p)
         streams = [None] * NUM_BANDS
-        slabs, slab_order = [], []
-        pieces = {}                                      # v_lo -> piece
         oks = []
         # T3_RS_MIXED=1: defer every k-group's compacted pages into ONE
         # mixed-k BM/Chien/Forney instance (rs._correct_pm_mixed) instead
-        # of one chain per group -- the repair dispatch is op-count-bound
-        # (docs/PERF.md), so merging the chains roughly halves its hot-op
-        # count for the two-group UEP default.  Bit-exact per block.
+        # of one chain per group -- bit-exact per block, but DISPROVEN on
+        # the chip dirty bench (the rmax/kmax padding tax exceeds the
+        # per-group dispatch overhead it removes, docs/PERF.md); the knob
+        # stays as a lever for workloads with more k-groups.
         mixed_rs = (os.environ.get("T3_RS_MIXED", "0") == "1"
                     and rs_mode == "paged" and len(by_k) > 1)
         mixed_defer = []                 # (r, g_rd, Sv, Cp, finish)
-
-        def _emit_extract(bands, barr, g, k):
-            """The raw data columns of a band group (none/check modes)."""
-            if grp_of is not None:
-                lo, hi = grp_of[k]
-                if dmaj:
-                    pieces[lo] = D5[:, :, lo:hi, :nblk_u, :k] \
-                        .reshape(3, 3, hi - lo, nblk_u * k)
-                else:
-                    pieces[lo] = U5[:, lo:hi, :, :nblk_u, :k] \
-                        .reshape(3, hi - lo, 3, nblk_u * k)
-            elif slab_m27:
-                slabs.append(U[barr][:, :, :nblk_u, :k].reshape(3 * g, -1))
-                slab_order.extend(3 * b + d for b in bands
-                                  for d in range(3))
-            elif dmaj:
-                for b in bands:
-                    streams[b] = D4[:, b, :nblk_u, :k].reshape(3, -1)
-            else:
-                for b in bands:
-                    streams[b] = U[b][:, :nblk_u, :k].reshape(3, -1)
 
         for k, bands in by_k.items():
             r = 26 - k
             g = len(bands)
             barr = np.asarray(bands)
             if rs_mode == "none":
-                _emit_extract(bands, barr, g, k)
+                for b in bands:
+                    streams[b] = U[b][:, :nblk_u, :k].reshape(3, -1)
                 continue
-            if grp_of is not None:
-                lo, hi = grp_of[k]
-                Sg = S5[:, :r, :, lo:hi].reshape(3, r, g, nblk_p)
-            else:
-                Sg = S_all[:, :r][:, :, barr]            # (3, r, g, nblk)
+            Sg = S_all[:, :r][:, :, barr]            # (3, r, g, nblk)
             if rs_mode == "check":
                 dirty = jnp.any(Sg.reshape(3 * r, g, nblk_p) != 0, axis=0)
                 oks.append((~dirty).reshape(-1))
-                _emit_extract(bands, barr, g, k)
+                for b in bands:
+                    streams[b] = U[b][:, :nblk_u, :k].reshape(3, -1)
                 continue
             if rs_mode != "paged":
                 # full chain over every block of the group
-                Ub = (U5[:, grp_of[k][0]:grp_of[k][1]]
-                      .reshape(g, 3, nblk_p, rs.N)
-                      if grp_of is not None else U[barr])
-                g_rd = Ub.transpose(1, 3, 0, 2) \
+                g_rd = U[barr].transpose(1, 3, 0, 2) \
                     .reshape(3, rs.N, g * nblk_p)
                 d_g, ok_g = rs._correct_pm(
                     g_rd, Sg.reshape(3, r, g * nblk_p), k)
                 data = d_g.reshape(3, k, g, nblk_p)
-                if grp_of is not None:
-                    lo, hi = grp_of[k]
-                    pieces[lo] = data.reshape(3, k, 3, hi - lo, nblk_p) \
-                        [..., :nblk_u].transpose(2, 3, 0, 4, 1) \
-                        .reshape(3, hi - lo, 3, nblk_u * k)
-                elif slab_m27:
-                    slabs.append(data.transpose(2, 0, 3, 1)[:, :, :nblk_u]
-                                 .reshape(3 * g, -1))
-                    slab_order.extend(3 * b + d for b in bands
-                                      for d in range(3))
-                else:
-                    for gi, b in enumerate(bands):
-                        streams[b] = data[:, :, gi, :nblk_u] \
-                            .transpose(0, 2, 1).reshape(3, -1)
+                for gi, b in enumerate(bands):
+                    streams[b] = data[:, :, gi, :nblk_u] \
+                        .transpose(0, 2, 1).reshape(3, -1)
                 oks.append(ok_g)
                 continue
             dirty = jnp.any(Sg.reshape(3 * r, g, nblk_p) != 0, axis=0)
@@ -1333,17 +1098,10 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
                 okb = jnp.where(use_corr[:, None], ok_pages,
                                 (~dirty).reshape(g * npage, page))
                 oks.append(okb.reshape(-1))
-                if slab_m27:
-                    base_g = U[barr][:, :, :, :k]        # (g, 3, nblk_p, k)
-                    slabs.append(_m3i(base_g + delta)[:, :, :nblk_u]
-                                 .reshape(3 * g, -1))
-                    slab_order.extend(3 * b + d for b in bands
-                                      for d in range(3))
-                else:
-                    for gi, b in enumerate(bands):
-                        base = U[b][:, :, :k]            # (3, nblk_p, k)
-                        streams[b] = _m3i(base + delta[gi])[:, :nblk_u] \
-                            .reshape(3, -1)
+                for gi, b in enumerate(bands):
+                    base = U[b][:, :, :k]                # (3, nblk_p, k)
+                    streams[b] = _m3i(base + delta[gi])[:, :nblk_u] \
+                        .reshape(3, -1)
 
             if mixed_rs:
                 mixed_defer.append((r, g_rd, Sv, C * page, _finish))
@@ -1387,51 +1145,20 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
                     if rs_mode == "paged" else rs.decode_pm_bk(band, k)
                 bc_stream = d_b.reshape(3, -1)
                 oks.append(ok_b)
-            if slab_m27:
-                slabs.append(bc_stream)
-                slab_order.extend(3 * bc_band + d for d in range(3))
-            else:
-                streams[bc_band] = bc_stream
+            streams[bc_band] = bc_stream
         # assemble (27, max_d) and regroup to words: the lane-crossing
         # 27-grid-trits -> 26-trit-words regroup FUSED with the trit->
         # symbol pack is one MXU contraction per 702-trit period
         # (_unpack702) -- no flat/reshape relayout chain
         max_dp = -(-max(max_d, 1) // 26) * 26
         MB = max_dp // 26
-        if grp_of is not None:
-            # group pieces (3, nv, 3, cols) [dmaj: (3, 3, nv, cols)]: pad
-            # cols to max_dp, concat along v -- the (3, 3, 3, max_dp)
-            # result reshapes to the (27, max_dp) grid in TRUE band order
-            # (row 9u+3v+d = 3*(3u+v)+d; dmaj row 9d+3u+v = 9d+b) with no
-            # permutation and no per-band chains.
-            M27 = jnp.concatenate(
-                [jnp.pad(pieces[lo],
-                         ((0, 0), (0, 0), (0, 0),
-                          (0, max_dp - pieces[lo].shape[-1])))
-                 for lo in sorted(pieces)],
-                axis=2 if dmaj else 1).reshape(27, max_dp)
-        elif slab_m27:
-            covered = {o // 3 for o in slab_order}
-            for b in range(NUM_BANDS):
-                if b not in covered:
-                    slabs.append(jnp.zeros((3, max_dp), dtype=jnp.int8))
-                    slab_order.extend(3 * b + d for d in range(3))
-            M27 = jnp.concatenate(
-                [jnp.pad(s, ((0, 0), (0, max_dp - s.shape[1])))
-                 for s in slabs], axis=0)       # (27, max_dp) slab rows
-        else:
-            parts = []
-            for b in range(NUM_BANDS):
-                s = (streams[b] if streams[b] is not None
-                     else jnp.zeros((3, 0), dtype=jnp.int8))
-                parts.append(jnp.pad(s,
-                                     ((0, 0), (0, max_dp - s.shape[1]))))
-            if dmaj:
-                # (3, 9, max_dp) -> rows 9d+b; the row order difference
-                # rides the assembly dot's constant below
-                M27 = jnp.stack(parts, axis=1).reshape(27, max_dp)
-            else:
-                M27 = jnp.concatenate(parts, axis=0)     # (27, max_dp)
+        parts = []
+        for b in range(NUM_BANDS):
+            s = (streams[b] if streams[b] is not None
+                 else jnp.zeros((3, 0), dtype=jnp.int8))
+            parts.append(jnp.pad(s,
+                                 ((0, 0), (0, max_dp - s.shape[1]))))
+        M27 = jnp.concatenate(parts, axis=0)             # (27, max_dp)
         if p5:
             # P5: fold the grid to stream-planes (3, L), deinterleave
             # (reshape+row-flip for whole tiles), then ONE contraction
@@ -1448,38 +1175,15 @@ def _decode_body_fn_pm2(layout: DecodeLayout, rs_mode: str, wire: str):
                 .astype(jnp.int8)                        # (243, nb27)
             out_T = wT.reshape(NUM_BANDS, 27, nb27).transpose(0, 2, 1) \
                 .reshape(NUM_BANDS, nb27 * 27)[:, :layout.n_out_words]
-        elif os.environ.get("T3_DEC_ASM", "v2") == "v1" and not dmaj:
-            # v1: explicit block transpose feeding the unpack dot
-            blocks27 = M27.reshape(27, MB, 26).transpose(1, 0, 2)
-            wout = lax.dot_general(blocks27, jnp.asarray(_unpack702()),
-                                   (((1, 2), (0, 1)), ((), ())),
-                                   preferred_element_type=jnp.int32) \
-                .astype(jnp.int8)                        # (MB, 243)
-            out_T = wout.reshape(MB, 27, NUM_BANDS).transpose(2, 0, 1) \
-                .reshape(NUM_BANDS, MB * 27)[:, :layout.n_out_words]
         else:
-            # v2 (default): contract (row, in-block col) in place -- the
-            # operand transpose rides the dot_general dimension numbers
-            # instead of a materialized relayout; the (band, word) output
-            # ordering leaves only a minor-dims transpose to wire-planes.
-            # Slab mode: M27's rows are in slab order, so permute the
-            # CONSTANT's rows to match -- zero extra data movement.
-            C_bw = np.asarray(_unpack702_bw())
-            if slab_m27:
-                C_bw = C_bw[np.asarray(slab_order)]
-            elif dmaj:
-                # M27 rows are 9d+b: permute the CONSTANT's grid-row axis
-                # (position 9d+b holds original row 3b+d) -- zero device
-                # data movement
-                i = np.arange(27)
-                C_bw = C_bw[3 * (i % NUM_BANDS) + i // NUM_BANDS]
-            dt = {"i8": (jnp.int8, jnp.int32), "f32": (jnp.float32,) * 2,
-                  "bf16": (jnp.bfloat16,) * 2}[
-                      os.environ.get("T3_ASM_DOT", "i8")]
-            wT = lax.dot_general(jnp.asarray(C_bw, dtype=dt[0]),
-                                 M27.reshape(27, MB, 26).astype(dt[0]),
+            # contract (row, in-block col) in place -- the operand
+            # transpose rides the dot_general dimension numbers instead
+            # of a materialized relayout; the (band, word) output
+            # ordering leaves only a minor-dims transpose to wire-planes
+            wT = lax.dot_general(jnp.asarray(_unpack702_bw()),
+                                 M27.reshape(27, MB, 26),
                                  (((0, 1), (0, 2)), ((), ())),
-                                 preferred_element_type=dt[1]) \
+                                 preferred_element_type=jnp.int32) \
                 .astype(jnp.int8)                        # (243, MB)
             out_T = wT.reshape(NUM_BANDS, 27, MB).transpose(0, 2, 1) \
                 .reshape(NUM_BANDS, MB * 27)[:, :layout.n_out_words]
@@ -1691,16 +1395,9 @@ def roundtrip_stream_fn(cfg: EncoderConfig, sf_batch: int,
             x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
         return x.reshape(nb, sf_batch, *x.shape[1:])
 
-    # T3_MAP_UNROLL>1: the micro-batch loop becomes an unrolled lax.scan --
-    # fewer while-loop iterations and XLA may overlap adjacent steps' DMA
-    # with compute (chip A/B knob; lax.map == scan(unroll=1))
-    unroll = int(os.environ.get("T3_MAP_UNROLL", "1"))
-
-    def _map(f, xs):
-        if unroll > 1:
-            return lax.scan(lambda c, x: (c, f(x)), None, xs,
-                            unroll=unroll)[1]
-        return lax.map(f, xs)
+    # micro-batch loop = plain lax.map (scan-unrolling it was DISPROVEN on
+    # chip: live VMEM temps bloat across unrolled steps, docs/PERF.md)
+    _map = lax.map
 
     def _post(n, out, ok, hdrs):
         out = (out.reshape(-1, NUM_BANDS, dlayout.n_out_words)
@@ -1812,17 +1509,24 @@ def decode_stream_superframes(words, cfg: EncoderConfig, n_raw: int,
             # back -- the eager gather / repair / scatter / all() chain it
             # replaces paid a ~25 ms tunnel dispatch floor PER STEP
             # (docs/PERF.md machine constants).  The index vector is
-            # host-padded to a multiple of sf_batch (repeat last) so the
-            # fused program's shape -- and its compile -- is quantized to
-            # micro-batch multiples, exactly like _rebatch pads data;
-            # duplicate scatter indices write identical decodes.
+            # host-padded to a multiple of r_sfb (the repair micro-batch;
+            # repeat last) so the fused program's shape -- and its compile
+            # -- is quantized to micro-batch multiples, exactly like
+            # _rebatch pads data; duplicate scatter indices write
+            # identical decodes.
             # Repair micro-batch: the paged corrector pays a per-op-
             # instance floor (~40 us/op/step, docs/PERF.md), so its cost
             # scales with the lax.map STEP count -- quantize the dirty
             # set to its own (smaller) batch so a handful of flagged
             # superframes compiles and runs a single small step instead
             # of a full sf_batch-wide one.
-            r_sfb = int(os.environ.get("T3_REPAIR_SFB", "0")) or sf_batch
+            try:
+                r_sfb = int(os.environ.get("T3_REPAIR_SFB", "0"))
+            except ValueError as e:
+                raise ValueError(
+                    "T3_REPAIR_SFB must be an integer (repair micro-batch "
+                    f"size): {e}") from None
+            r_sfb = r_sfb if r_sfb > 0 else sf_batch
             nb_pad = _ceil_div(bad.size, r_sfb) * r_sfb
             bad_p = np.concatenate(
                 [bad, np.repeat(bad[-1:], nb_pad - bad.size)])

@@ -30,7 +30,7 @@ bit-exact vs the v2 pipeline -- tests/test_pipeline_v3.py):
                   concat data|parity on the codeword axis
     concat v-groups -> (3, 3, M, 13, 26) == wire body (9, H) by reshape.
 
-Decode (check/none/paged modes; "full" keeps the v2 machinery):
+Decode (check/none/paged/full modes):
 
   wire (9, H) --divmod+descramble--> dig (3, 3, 3, M, 13, 26)
     syndromes: ONE r=8 lifted contraction for all bands (+ per-v row mask)
@@ -49,14 +49,16 @@ group machinery's throwaway column at assembly; non-26-multiple heights
 ride a partial trailing grid block whose cells are the zero stream tail
 (masked out of the syndrome check, like v2 never reading them).
 
-P5 (2D interleave, old/.../v6_min.hpp:1083-1086,749-813) rides a stream
-branch: encode extracts the symbol stream planes with one 702-period
-permutation dot (_stream_const), interleaves on (3, L) (whole tiles are
-a constant-free reshape+row-flip), and folds the permuted stream straight
-into the blocked Y layout; decode unfolds the extracted data grid back to
-stream planes, deinterleaves, and rebuilds RAW words with the inverse
-702-period contraction (v2's _stream702 constant).  P5 + beacon falls
-back to v2.
+P5 (2D interleave, old/.../v6_min.hpp:1083-1086,749-813) rides fused
+paths: tiles with (w | 234, h even|1) take the 2-half snake-composed
+dots (_fuse_enc_const/_fuse_dec_const); every OTHER legal tile takes the
+general id/rev mask decomposition (straight extraction dot + row-reversal
+permutation contractions + an elementwise row-parity select -- see the
+"general P5 fuse" section).  T3_P5_FUSE=0 forces the round-2 stream
+branch (extract stream planes, interleave on (3, L), fold back).  P5
+composes with a beacon band: the stream fold writes the interleaved
+round-robin stream into every band column, and the beacon splice /
+throwaway-column machinery operates downstream of it unchanged.
 """
 from __future__ import annotations
 
@@ -91,9 +93,6 @@ def _groups(geom, uep, b0: int = -1):
 
 
 def _eligible(profile, tile, beacon, geom) -> bool:
-    from . import pipeline as pl
-    if pl._is_p5(profile, tile) and beacon.enabled:
-        return False  # P5 rides the stream-interleave branch, no beacon yet
     if geom.H // rs.N == 0:
         return False
     b0 = beacon.band_slot if beacon.enabled else -1
@@ -149,7 +148,7 @@ def _parity_data_const(k: int):
     parity generator alone (no grid extraction) -- parity digits are
     GF(3)-linear in the UNSCRAMBLED data digits, so they can be computed
     from the data dot's output instead of a second (26*Lk*3)-length grid
-    contraction (T3_V3_PAR=data).  Kept as one (k)-contraction constant
+    contraction.  Kept as one (k)-contraction constant
     per input digit plane: a joint (3, k) contraction is the
     tiny+large-pair shape that MISCOMPILES under vmap on XLA:TPU
     (docs/PERF.md "XLA:TPU miscompile")."""
@@ -221,14 +220,16 @@ def _stream_const():
 
 
 def _fuse_ok(w: int, h: int) -> bool:
-    """Snake-composed P5 fast path eligibility: the boustrophedon rows must
-    not cross 234-symbol block boundaries (w | 234) and the per-block flip
-    pattern must depend on at most the block PARITY (h even; h == 1 is the
-    no-flip identity).  Row R = s // w flips iff (R mod h) is odd; for even
-    h that is just R odd, and R = (234/w)*n7 + t//w, so the within-block
-    permutation is one of two constants chosen by n7 parity (a single
-    constant when 234/w is even)."""
-    return w >= 1 and 234 % w == 0 and (h == 1 or h % 2 == 0)
+    """Snake-composed P5 HALF fast path eligibility: the boustrophedon rows
+    must not cross 234-symbol block boundaries (w | 234) and the per-block
+    flip pattern must depend on at most the block PARITY (h even; h == 1 or
+    w == 1 is the no-flip identity).  Row R = s // w flips iff (R mod h) is
+    odd; for even h that is just R odd, and R = (234/w)*n7 + t//w, so the
+    within-block permutation is one of two constants chosen by n7 parity (a
+    single constant when 234/w is even).  Every OTHER legal tile rides the
+    general id/rev mask decomposition (see _rev702/_rev_windows/_flip_mask)
+    instead of the stream branch."""
+    return w == 1 or (w >= 1 and 234 % w == 0 and (h == 1 or h % 2 == 0))
 
 
 @functools.cache
@@ -293,6 +294,100 @@ def _fuse_dec_const(w: int, h: int) -> np.ndarray:
             u, v = divmod(r9, 3)
             CU[half, u, v, :, i] = U[:, tau[t]]
     return CU.reshape(2, 702, NUM_BANDS, 27)
+
+
+# ---------------------------------------------------------------------------
+# general P5 fuse (any legal tile): id/rev mask decomposition
+#
+# Over whole tiles the boustrophedon is "row reversal by mask": for stream
+# position t with global row R = t // w (rows of width w are globally
+# contiguous since tile area A = w*h is a multiple of w),
+#
+#     interleaved[t] = stream[t]                  if (R mod h) even
+#                    = stream[w*R + (w-1) - t%w]  if (R mod h) odd
+#
+# and the map is an involution (deinterleave = the same operation).  So the
+# fused path factors into a STRAIGHT extraction (tau = identity, the
+# chip-proven (27 row, 27 wloc) dot), a ROW-REVERSED copy (one 702-length
+# permutation contraction when w | 234 keeps rows inside blocks; three
+# shifted-window class-batched 702-contractions otherwise, since a row
+# reversal moves a symbol < w <= 26 positions = at most one block over),
+# and an elementwise select under a small host-built row-parity mask --
+# for EVERY legal tile, where the 2-half composed path (_fuse_enc_const)
+# needs (w | 234, h even|1).  Decode applies the identical rev/mask to the
+# extracted data grid (same constants -- the snake is an involution), then
+# the straight word-rebuild contraction.
+# ---------------------------------------------------------------------------
+
+
+def _cell702(m: int, d: int) -> int:
+    """Flattened (u, v, d, i) cell index of stream position m, digit d
+    (m = 9 i + 3 u + v -- the blocked Y / data-grid cell layout)."""
+    u, v = divmod(m % 9, 3)
+    return ((u * 3 + v) * 3 + d) * 26 + m // 9
+
+
+@functools.cache
+def _fuse_id_consts():
+    """(VC_id (27, 27, 702), CU_id (702, 9, 27)): the tau=identity fused
+    extraction / word-rebuild constants (the h=1 specialization of
+    _fuse_enc_const/_fuse_dec_const; tile-independent)."""
+    return (np.ascontiguousarray(
+                np.asarray(_fuse_enc_const(1, 1))[0].reshape(27, 27, 702)),
+            np.ascontiguousarray(np.asarray(_fuse_dec_const(1, 1))[0]))
+
+
+@functools.cache
+def _rev702(w: int) -> np.ndarray:
+    """(702, 702) int8 permutation: within-block row reversal (rows of
+    width w, block-aligned -- requires w | 234) on the flattened
+    (u, v, d, i) cell axes; Y_rev = Y_id . R.  Single 702-length
+    contraction = the chip-proven safe dot family (docs/PERF.md)."""
+    assert 234 % w == 0
+    R = np.zeros((702, 702), dtype=np.int8)
+    for m_out in range(234):
+        m_src = w * (m_out // w) + (w - 1) - m_out % w
+        for d in range(3):
+            R[_cell702(m_src, d), _cell702(m_out, d)] = 1
+    return R
+
+
+@functools.cache
+def _rev_windows(w: int):
+    """(R (3 delta, Pw, 702, 702) int8, Pw): cross-block row reversal for
+    w not dividing 234.  The row phase at a block start, (234*n7) mod w,
+    cycles with period Pw = w / gcd(w, 234); with class = n7 mod Pw,
+
+        Y_rev[n7] = sum_delta  Y_id[n7 + delta - 1] . R[delta, class]
+
+    (delta 0/1/2 = previous/self/next block; a reversed symbol moves
+    < w <= 26 positions, so one block over at most).  Each dot is a single
+    702-length contraction with the class axis on dot BATCH dims."""
+    import math
+    Pw = w // math.gcd(w, 234)
+    R = np.zeros((3, Pw, 702, 702), dtype=np.int8)
+    for cls in range(Pw):
+        base = 234 * cls
+        for m_out in range(234):
+            t = base + m_out
+            src = w * (t // w) + (w - 1) - t % w
+            rel = src - base
+            delta = 0 if rel < 0 else (1 if rel < 234 else 2)
+            cell = rel + 234 - 234 * delta
+            for d in range(3):
+                R[delta, cls, _cell702(cell, d), _cell702(m_out, d)] = 1
+    return R, Pw
+
+
+@functools.cache
+def _flip_mask(nblk: int, w: int, h: int) -> np.ndarray:
+    """(nblk, 3, 3, 1, 26) bool: cell (n7, u, v, :, i) sits on an odd
+    (reversed) snake row -- global row (234 n7 + 9 i + 3 u + v) // w,
+    odd iff (row mod h) is odd.  ~71 KB host constant at bench shapes."""
+    m = (9 * np.arange(26)[None, None, :] + 3 * np.arange(3)[:, None, None]
+         + np.arange(3)[None, :, None])                    # (3u, 3v, 26i)
+    t = 234 * np.arange(nblk)[:, None, None, None] + m[None]
+    return ((t // w) % h % 2 == 1)[:, :, :, None, :]
 
 
 def _np_pat(seed) -> np.ndarray:
@@ -368,8 +463,9 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
     P702 = pl._pack702_dm()
     hdrT = np.asarray(layout.header_words.T, dtype=np.int8)
     p5 = pl._is_p5(cfg.profile, cfg.tile)
-    p5_fuse = (p5 and _fuse_ok(cfg.tile.w, cfg.tile.h)
-               and os.environ.get("T3_P5_FUSE", "1") == "1")
+    fuse_on = p5 and os.environ.get("T3_P5_FUSE", "1") == "1"
+    p5_fuse = fuse_on and _fuse_ok(cfg.tile.w, cfg.tile.h)
+    p5_gen = fuse_on and not p5_fuse    # id/rev mask decomposition
     if p5_fuse:
         nblk7 += nblk7 & 1          # paired 54-word blocks for the fused dot
     if p5:
@@ -382,7 +478,7 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
         L_out5 = int(min(NUM_BANDS * dlens5[b] + b for b in range(NUM_BANDS)))
         assert L_out5 <= 234 * nblk7
         V702 = jnp.asarray(_stream_const())
-    if p5_fuse:
+    if p5_fuse or p5_gen:
         # snake-composed fast path geometry: blocks < B0_5 come straight
         # from the fused dot (whole tiles only); blocks [B0_5, WE_5) are
         # rebuilt from the stream segment [T0_5, L_out5) (the containing
@@ -394,19 +490,26 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
         WE_5 = -(-L_out5 // 234)
         T0_5 = (234 * B0_5 // A5) * A5
         W0_5 = T0_5 // 234
+    if p5_fuse:
         VCj = jnp.asarray(_fuse_enc_const(cfg.tile.w, cfg.tile.h))
-    # the beacon and P5 paths are built on the block-major grid only
-    yord = ("blocks" if b0 >= 0 or p5
-            else os.environ.get("T3_V3_YORD", "blocks"))
-    # per-group Y dots (default): chip A/B 39.40 -> 40.83 fps alone,
-    # 42.37 combined with par_data (docs/PERF.md round-2 ledger)
-    ysplit = (not p5 and yord == "blocks"
-              and os.environ.get("T3_V3_YSPLIT", "1") == "1")
-    # parity from the data words (default): three k-length dots on the
-    # data dot's output instead of the second grid contraction + the Yg
-    # relayout copy XLA inserts for it; chip A/B 39.40 -> 41.16 alone
-    par_data = (yord == "blocks"
-                and os.environ.get("T3_V3_PAR", "data") == "data")
+    if p5_gen:
+        VCid_j = jnp.asarray(_fuse_id_consts()[0])         # (27, 27, 702)
+        mk_j = jnp.asarray(_flip_mask(nblk7, cfg.tile.w, cfg.tile.h))
+        rev_win = 234 % cfg.tile.w != 0
+        if rev_win:
+            R3, Pw = _rev_windows(cfg.tile.w)
+            R3j = jnp.asarray(R3)
+            n7p = -(-nblk7 // Pw) * Pw
+        else:
+            R702j = jnp.asarray(_rev702(cfg.tile.w))
+    # per-group Y dots: chip A/B 39.40 -> 40.83 fps alone, 42.37 combined
+    # with parity-from-data (docs/PERF.md round-2 ledger); P5 computes Y
+    # through the stream/fuse machinery instead
+    ysplit = not p5
+    # parity from the data words: three k-length dots on the data dot's
+    # output instead of the second grid contraction + the Yg relayout
+    # copy XLA inserts for it; chip A/B 39.40 -> 41.16 alone
+    par_data = True
     if ysplit:
         P6 = np.ascontiguousarray(
             np.asarray(P702).reshape(3, 3, 3, 26, 27, 27))
@@ -415,11 +518,9 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
             for _k, lo, hi in groups}
         Pg_b0 = (jnp.asarray(P6[b0 // 3, b0 % 3].reshape(-1, 27, 27),
                              dtype=jnp.int8) if b0 >= 0 else None)
-    # T3_V3_DOTF=1: the mod-3 reduction dots accumulate in f32 directly
-    # (exact: sums <= ~600 << 2^24), skipping the s32->f32 convert pass
-    # before fmod3 (chip A/B knob)
-    PT = (jnp.float32 if os.environ.get("T3_V3_DOTF", "0") == "1"
-          else jnp.int32)
+    # mod-3 reduction dots accumulate int32 (f32 accumulation measured
+    # neutral -- the s32->f32 convert was already fused, docs/PERF.md)
+    PT = jnp.int32
 
     consts = []
     for k, lo, hi in groups:
@@ -489,7 +590,7 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
             axis=0).astype(jnp.int8)                       # (27, 27*nblk7)
         X3 = pl_dig.reshape(27, nblk7, 27)
         parts = []
-        if yord == "blocks":
+        if p5_fuse or p5_gen:
             if p5_fuse:
                 # snake-composed P5: one contraction PER BLOCK-PAIR HALF
                 # from the word digit planes straight to the interleaved
@@ -506,184 +607,173 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
                                      preferred_element_type=jnp.int32)
                      for hf in range(2)], axis=1)
                 Ym = Ym.astype(jnp.int8).reshape(nblk7, 3, 3, 3, 26)
-                py = [Ym[:B0_5]] if B0_5 else []
-                if WE_5 > B0_5:
-                    st = lax.dot_general(X3[:, W0_5:WE_5], V702,
-                                         (((0, 2), (0, 1)), ((), ())),
-                                         preferred_element_type=jnp.int32)
-                    st = st.astype(jnp.int8).transpose(1, 0, 2) \
-                        .reshape(3, (WE_5 - W0_5) * 234)
-                    st = st[:, T0_5 - 234 * W0_5:L_out5 - 234 * W0_5]
-                    il = interleave.interleave(st, cfg.tile.w, cfg.tile.h)
-                    suf = il[:, 234 * B0_5 - T0_5:]
-                    suf = jnp.pad(
-                        suf,
-                        ((0, 0), (0, 234 * (WE_5 - B0_5) - suf.shape[1])))
-                    suf3 = suf.reshape(3, WE_5 - B0_5, 234)
-                    W2 = jnp.asarray(_fold234_enc())
-                    py.append(jnp.stack(
-                        [lax.dot_general(suf3[d], W2,
+            else:
+                # general id/rev mask decomposition (any legal tile): the
+                # straight extraction dot (the chip-proven (27 row,
+                # 27 wloc) V702 shape), a row-reversed copy via 702-length
+                # permutation contractions (_rev702 / _rev_windows), and
+                # an elementwise select under the host-built row-parity
+                # mask (_flip_mask) -- see the module-section comment.
+                Yid = lax.dot_general(X3, VCid_j,
+                                      (((0, 2), (0, 1)), ((), ())),
+                                      preferred_element_type=jnp.int32) \
+                    .astype(jnp.int8)                      # (n7, 702)
+                if rev_win:
+                    Zp = jnp.pad(Yid, ((1, 1 + n7p - nblk7), (0, 0)))
+                    Yr = sum(
+                        lax.dot_general(
+                            Zp[dlt:dlt + n7p].reshape(n7p // Pw, Pw, 702),
+                            R3j[dlt], (((2,), (1,)), ((1,), (0,))),
+                            preferred_element_type=jnp.int32)
+                        for dlt in range(3))               # (Pw, n7p/Pw, 702)
+                    Yr = Yr.astype(jnp.int8).transpose(1, 0, 2) \
+                        .reshape(n7p, 702)[:nblk7]
+                else:
+                    Yr = lax.dot_general(Yid, R702j,
                                          (((1,), (0,)), ((), ())),
-                                         preferred_element_type=jnp.int32)
-                         .astype(jnp.int8) for d in range(3)], axis=3))
-                if WE_5 < nblk7:
-                    py.append(jnp.zeros((nblk7 - WE_5, 3, 3, 3, 26),
-                                        jnp.int8))
-                Y = jnp.concatenate(py, axis=0) if len(py) > 1 else py[0]
-            elif p5:
-                # P5: extract the symbol stream planes (one 702-period
-                # permutation dot), interleave on (3, L) (whole tiles are
-                # a reshape+row-flip, ops/interleave.py), then fold the
-                # permuted stream straight into the blocked Y layout --
-                # stream index 234*n7 + 9i + b at band b = 3u + v
-                st = lax.dot_general(X3, V702, (((0, 2), (0, 1)), ((), ())),
+                                         preferred_element_type=jnp.int32) \
+                        .astype(jnp.int8)
+                Ym = jnp.where(mk_j, Yr.reshape(nblk7, 3, 3, 3, 26),
+                               Yid.reshape(nblk7, 3, 3, 3, 26))
+            py = [Ym[:B0_5]] if B0_5 else []
+            if WE_5 > B0_5:
+                st = lax.dot_general(X3[:, W0_5:WE_5], V702,
+                                     (((0, 2), (0, 1)), ((), ())),
                                      preferred_element_type=jnp.int32)
                 st = st.astype(jnp.int8).transpose(1, 0, 2) \
-                    .reshape(3, 234 * nblk7)               # (3 d, L)
-                st = interleave.interleave(st[:, :L_out5],
-                                           cfg.tile.w, cfg.tile.h)
-                st = jnp.pad(st, ((0, 0), (0, 234 * nblk7 - L_out5)))
-                st3 = st.reshape(3, nblk7, 234)
+                    .reshape(3, (WE_5 - W0_5) * 234)
+                st = st[:, T0_5 - 234 * W0_5:L_out5 - 234 * W0_5]
+                il = interleave.interleave(st, cfg.tile.w, cfg.tile.h)
+                suf = il[:, 234 * B0_5 - T0_5:]
+                suf = jnp.pad(
+                    suf,
+                    ((0, 0), (0, 234 * (WE_5 - B0_5) - suf.shape[1])))
+                suf3 = suf.reshape(3, WE_5 - B0_5, 234)
                 W2 = jnp.asarray(_fold234_enc())
-                Y = jnp.stack(
-                    [lax.dot_general(st3[d], W2, (((1,), (0,)), ((), ())),
+                py.append(jnp.stack(
+                    [lax.dot_general(suf3[d], W2,
+                                     (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.int32)
-                     .astype(jnp.int8) for d in range(3)],
-                    axis=3)                                # (n7, u, v, d, i)
-            elif ysplit:
-                # T3_V3_YSPLIT=1: one dot PER GROUP against a pre-sliced
-                # P702 (the group's v-range of the 702 output axis) so no
-                # full (n7, 702) grid ever materializes -- an A/B against
-                # the relayout copy XLA still inserts between the single
-                # big dot and the group slices (copy.96, ~65 ms / 48
-                # frames in the 2026-08-19 trace).  Emitting the blocked
-                # (M, Lk, ...) shape directly from each group dot was
-                # tried and REGRESSED 43.4 -> 39.8 fps (the blocked dot
-                # output forces worse tile layouts than the reshape it
-                # saves; docs/PERF.md round-2 ledger)
-                Yg_all = {}
-                for (lo_g, hi_g), Pg in Pg_split.items():
-                    Yg = lax.dot_general(X3, Pg,
-                                         (((0, 2), (1, 2)), ((), ())),
-                                         preferred_element_type=jnp.int32)
-                    Yg_all[(lo_g, hi_g)] = Yg.astype(jnp.int8) \
-                        .reshape(nblk7, 3, hi_g - lo_g, 3, 26)
-                if b0 >= 0 and blocks0:
-                    Yb0 = lax.dot_general(X3, Pg_b0,
-                                          (((0, 2), (1, 2)), ((), ())),
-                                          preferred_element_type=jnp.int32)
-                    Yb0 = Yb0.astype(jnp.int8).reshape(nblk7, 3, 26)
-                Y = None
-            else:
-                # block-major grid: Y (n7, 702) keeps the dot702 output in
-                # the layout the group contractions consume -- the v3 trace
-                # showed XLA inserting a (702, n7)->(n7, 702) relayout copy
-                # (copy.95, ~44 ms / 32 frames) plus a per-group Yg copy
-                # (copy.96) when the 702 axis leads
-                Y = lax.dot_general(X3, jnp.asarray(P702, dtype=jnp.int8),
-                                    (((0, 2), (1, 2)), ((), ())),
-                                    preferred_element_type=jnp.int32)
-                Y = Y.astype(jnp.int8).reshape(nblk7, 3, 3, 3, 26)
-            for k, lo, hi, pd_k, Dk, Pk, offD, offP in consts:
-                Lk = k // 2
-                Bk = Lk * M
-                Yg = (Yg_all[(lo, hi)] if ysplit
-                      else Y[:, :, lo:hi])             # (n7, 3, gv, 3, 26)
-                Yg = (jnp.pad(Yg, ((0, Bk - nblk7),) + ((0, 0),) * 4)
-                      if Bk > nblk7 else Yg[:Bk])
-                Yg = Yg.reshape(M, Lk, 3, hi - lo, 3, 26)
-                # data: (3u, gv, M, 3d, 13, k)
-                data = lax.dot_general(Yg, Dk,
-                                       (((5, 1), (2, 3)), ((2, 3), (0, 1))),
-                                       preferred_element_type=PT)
-                sd = fmod3(data.astype(jnp.float32)
-                           + offD.swapaxes(2, 3)).astype(jnp.int8)
-                wd = sd[:, :, :, 0] + 3 * sd[:, :, :, 1] + 9 * sd[:, :, :, 2]
-                if pd_k:
-                    # unscrambled data digits: D_k is a permutation, so
-                    # the data dot's output already IS the trit (0..2)
-                    ud = data.astype(jnp.int8)
-                    # parity: (3u, gv, M, 13, 3d', r) -- one k-contraction
-                    # per input digit plane (safe dot shape), summed
-                    par = sum(
-                        lax.dot_general(ud[:, :, :, d], Pk[d],
-                                        (((4,), (0,)), ((), ())),
-                                        preferred_element_type=PT)
-                        for d in range(3))
-                    sp = fmod3(par.astype(jnp.float32)
-                               + offP.transpose(0, 1, 2, 4, 3, 5)) \
-                        .astype(jnp.int8)
-                    wp = (sp[..., 0, :] + 3 * sp[..., 1, :]
-                          + 9 * sp[..., 2, :])
-                else:
-                    # parity: (3u, gv, M, 3d', 13, r)
-                    par = lax.dot_general(
-                        Yg, Pk, (((1, 4, 5), (4, 2, 3)), ((2, 3), (0, 1))),
-                        preferred_element_type=PT)
-                    sp = fmod3(par.astype(jnp.float32)
-                               + offP).astype(jnp.int8)
-                    wp = (sp[:, :, :, 0] + 3 * sp[:, :, :, 1]
-                          + 9 * sp[:, :, :, 2])
-                parts.append(jnp.concatenate([wd, wp], axis=-1))
-            body = jnp.concatenate(parts, axis=1)      # (3, 3, M, 13, 26)
-            if b0 >= 0:
-                if blocks0:
-                    Yg0 = Yb0 if ysplit else Y[:, u0, v0]  # (n7, 3, 26)
-                    Yg0 = (jnp.pad(Yg0, ((0, Bk0 - nblk7), (0, 0), (0, 0)))
-                           if Bk0 > nblk7 else Yg0[:Bk0])
-                    Yg0 = Yg0.reshape(M0, Lk0, 3, 26)
-                    d0 = lax.dot_general(Yg0, Dk0,
-                                         (((3, 1), (0, 1)), ((), ())),
-                                         preferred_element_type=PT)
-                    sd0 = fmod3(d0.astype(jnp.float32)).astype(jnp.int8)
-                    p0 = lax.dot_general(Yg0, Pk0,
-                                         (((1, 2, 3), (2, 0, 1)), ((), ())),
-                                         preferred_element_type=PT)
-                    sp0 = fmod3(p0.astype(jnp.float32)).astype(jnp.int8)
-                    cw = jnp.concatenate([sd0, sp0], axis=-1)
-                    stream = cw.transpose(1, 0, 2, 3) \
-                        .reshape(3, M0 * 13 * 26)[:, :blocks0 * 26]
-                else:
-                    stream = jnp.zeros((3, 0), dtype=jnp.int8)
-                stream = jnp.pad(stream,
-                                 ((0, 0), (0, SL - blocks0 * 26)))
-                col = jnp.concatenate(
-                    [jnp.broadcast_to(bsym_j[:, None, None], (3, S, 1)),
-                     stream.reshape(3, S, p - 1)], axis=2)
-                col = fmod3(col.astype(jnp.float32)
-                            + offb_j).astype(jnp.int8)
-                w0 = (col[0] + 3 * col[1] + 9 * col[2]).reshape(S * p)
-                w0 = jnp.pad(w0[:H], (0, NB * 26 - H)).reshape(M, 13, 26)
-                body = body.at[u0, v0].set(w0)
-            bodyT = body.reshape(NUM_BANDS, NB * 26)[:, :H]
-            return jnp.concatenate([jnp.asarray(hdrT), bodyT], axis=1)
-        Y = lax.dot_general(jnp.asarray(P702, dtype=jnp.int8), X3,
-                            (((1, 2), (0, 2)), ((), ())),
-                            preferred_element_type=jnp.int32)  # (702, nblk7)
-        Y = Y.astype(jnp.int8).reshape(3, 3, 3, 26, nblk7)   # (u, v, d, i, n7)
-        for k, lo, hi, _pd_k, Dk, Pk, offD, offP in consts:
+                     .astype(jnp.int8) for d in range(3)], axis=3))
+            if WE_5 < nblk7:
+                py.append(jnp.zeros((nblk7 - WE_5, 3, 3, 3, 26),
+                                    jnp.int8))
+            Y = jnp.concatenate(py, axis=0) if len(py) > 1 else py[0]
+        elif p5:
+            # P5: extract the symbol stream planes (one 702-period
+            # permutation dot), interleave on (3, L) (whole tiles are
+            # a reshape+row-flip, ops/interleave.py), then fold the
+            # permuted stream straight into the blocked Y layout --
+            # stream index 234*n7 + 9i + b at band b = 3u + v
+            st = lax.dot_general(X3, V702, (((0, 2), (0, 1)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+            st = st.astype(jnp.int8).transpose(1, 0, 2) \
+                .reshape(3, 234 * nblk7)               # (3 d, L)
+            st = interleave.interleave(st[:, :L_out5],
+                                       cfg.tile.w, cfg.tile.h)
+            st = jnp.pad(st, ((0, 0), (0, 234 * nblk7 - L_out5)))
+            st3 = st.reshape(3, nblk7, 234)
+            W2 = jnp.asarray(_fold234_enc())
+            Y = jnp.stack(
+                [lax.dot_general(st3[d], W2, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.int32)
+                 .astype(jnp.int8) for d in range(3)],
+                axis=3)                                # (n7, u, v, d, i)
+        elif ysplit:
+            # one dot PER GROUP against a pre-sliced
+            # P702 (the group's v-range of the 702 output axis) so no
+            # full (n7, 702) grid ever materializes -- an A/B against
+            # the relayout copy XLA still inserts between the single
+            # big dot and the group slices (copy.96, ~65 ms / 48
+            # frames in the 2026-08-19 trace).  Emitting the blocked
+            # (M, Lk, ...) shape directly from each group dot was
+            # tried and REGRESSED 43.4 -> 39.8 fps (the blocked dot
+            # output forces worse tile layouts than the reshape it
+            # saves; docs/PERF.md round-2 ledger)
+            Yg_all = {}
+            for (lo_g, hi_g), Pg in Pg_split.items():
+                Yg = lax.dot_general(X3, Pg,
+                                     (((0, 2), (1, 2)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+                Yg_all[(lo_g, hi_g)] = Yg.astype(jnp.int8) \
+                    .reshape(nblk7, 3, hi_g - lo_g, 3, 26)
+            if b0 >= 0 and blocks0:
+                Yb0 = lax.dot_general(X3, Pg_b0,
+                                      (((0, 2), (1, 2)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+                Yb0 = Yb0.astype(jnp.int8).reshape(nblk7, 3, 26)
+            Y = None
+        for k, lo, hi, pd_k, Dk, Pk, offD, offP in consts:
             Lk = k // 2
             Bk = Lk * M
-            Yg = Y[:, lo:hi]
-            Yg = (jnp.pad(Yg, ((0, 0),) * 4 + ((0, Bk - nblk7),))
-                  if Bk > nblk7 else Yg[..., :Bk])
-            Yg = Yg.reshape(3, hi - lo, 3, 26, M, Lk)
-            # data: (3u, gv, 3d, M, 13, k)
+            Yg = (Yg_all[(lo, hi)] if ysplit
+                  else Y[:, :, lo:hi])             # (n7, 3, gv, 3, 26)
+            Yg = (jnp.pad(Yg, ((0, Bk - nblk7),) + ((0, 0),) * 4)
+                  if Bk > nblk7 else Yg[:Bk])
+            Yg = Yg.reshape(M, Lk, 3, hi - lo, 3, 26)
+            # data: (3u, gv, M, 3d, 13, k)
             data = lax.dot_general(Yg, Dk,
-                                   (((3, 5), (2, 3)), ((0, 1), (0, 1))),
+                                   (((5, 1), (2, 3)), ((2, 3), (0, 1))),
                                    preferred_element_type=PT)
-            # int8 before the 3-slice pack: the sliced intermediate
-            # materializes, and f32 would be a 4x HBM tensor
-            sd = fmod3(data.astype(jnp.float32) + offD).astype(jnp.int8)
-            wd = sd[:, :, 0] + 3 * sd[:, :, 1] + 9 * sd[:, :, 2]
-            # parity: (3u, gv, M, 3d', 13, r)
-            par = lax.dot_general(Yg, Pk,
-                                  (((2, 3, 5), (2, 3, 4)), ((0, 1), (0, 1))),
-                                  preferred_element_type=PT)
-            sp = fmod3(par.astype(jnp.float32) + offP).astype(jnp.int8)
-            wp = sp[:, :, :, 0] + 3 * sp[:, :, :, 1] + 9 * sp[:, :, :, 2]
+            sd = fmod3(data.astype(jnp.float32)
+                       + offD.swapaxes(2, 3)).astype(jnp.int8)
+            wd = sd[:, :, :, 0] + 3 * sd[:, :, :, 1] + 9 * sd[:, :, :, 2]
+            if pd_k:
+                # unscrambled data digits: D_k is a permutation, so
+                # the data dot's output already IS the trit (0..2)
+                ud = data.astype(jnp.int8)
+                # parity: (3u, gv, M, 13, 3d', r) -- one k-contraction
+                # per input digit plane (safe dot shape), summed
+                par = sum(
+                    lax.dot_general(ud[:, :, :, d], Pk[d],
+                                    (((4,), (0,)), ((), ())),
+                                    preferred_element_type=PT)
+                    for d in range(3))
+                sp = fmod3(par.astype(jnp.float32)
+                           + offP.transpose(0, 1, 2, 4, 3, 5)) \
+                    .astype(jnp.int8)
+                wp = (sp[..., 0, :] + 3 * sp[..., 1, :]
+                      + 9 * sp[..., 2, :])
+            else:
+                # parity: (3u, gv, M, 3d', 13, r)
+                par = lax.dot_general(
+                    Yg, Pk, (((1, 4, 5), (4, 2, 3)), ((2, 3), (0, 1))),
+                    preferred_element_type=PT)
+                sp = fmod3(par.astype(jnp.float32)
+                           + offP).astype(jnp.int8)
+                wp = (sp[:, :, :, 0] + 3 * sp[:, :, :, 1]
+                      + 9 * sp[:, :, :, 2])
             parts.append(jnp.concatenate([wd, wp], axis=-1))
-        body = jnp.concatenate(parts, axis=1)              # (3, 3, M, 13, 26)
+        body = jnp.concatenate(parts, axis=1)      # (3, 3, M, 13, 26)
+        if b0 >= 0:
+            if blocks0:
+                Yg0 = Yb0 if ysplit else Y[:, u0, v0]  # (n7, 3, 26)
+                Yg0 = (jnp.pad(Yg0, ((0, Bk0 - nblk7), (0, 0), (0, 0)))
+                       if Bk0 > nblk7 else Yg0[:Bk0])
+                Yg0 = Yg0.reshape(M0, Lk0, 3, 26)
+                d0 = lax.dot_general(Yg0, Dk0,
+                                     (((3, 1), (0, 1)), ((), ())),
+                                     preferred_element_type=PT)
+                sd0 = fmod3(d0.astype(jnp.float32)).astype(jnp.int8)
+                p0 = lax.dot_general(Yg0, Pk0,
+                                     (((1, 2, 3), (2, 0, 1)), ((), ())),
+                                     preferred_element_type=PT)
+                sp0 = fmod3(p0.astype(jnp.float32)).astype(jnp.int8)
+                cw = jnp.concatenate([sd0, sp0], axis=-1)
+                stream = cw.transpose(1, 0, 2, 3) \
+                    .reshape(3, M0 * 13 * 26)[:, :blocks0 * 26]
+            else:
+                stream = jnp.zeros((3, 0), dtype=jnp.int8)
+            stream = jnp.pad(stream,
+                             ((0, 0), (0, SL - blocks0 * 26)))
+            col = jnp.concatenate(
+                [jnp.broadcast_to(bsym_j[:, None, None], (3, S, 1)),
+                 stream.reshape(3, S, p - 1)], axis=2)
+            col = fmod3(col.astype(jnp.float32)
+                        + offb_j).astype(jnp.int8)
+            w0 = (col[0] + 3 * col[1] + 9 * col[2]).reshape(S * p)
+            w0 = jnp.pad(w0[:H], (0, NB * 26 - H)).reshape(M, 13, 26)
+            body = body.at[u0, v0].set(w0)
         bodyT = body.reshape(NUM_BANDS, NB * 26)[:, :H]
         return jnp.concatenate([jnp.asarray(hdrT), bodyT], axis=1)
 
@@ -697,9 +787,9 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
 
 def decode_supported(layout, rs_mode: str) -> bool:
     hdr = layout.hdr
-    if rs_mode == "paged" and hdr.beacon.enabled:
+    if rs_mode in ("paged", "full") and hdr.beacon.enabled:
         return False  # beacon-band repair keeps the v2 per-band machinery
-    return (rs_mode in ("check", "none", "paged")
+    return (rs_mode in ("check", "none", "paged", "full")
             and _eligible(hdr.profile, hdr.tile, hdr.beacon, layout.geom))
 
 
@@ -726,15 +816,10 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
     b9 = np.arange(NUM_BANDS)
     off_even = jnp.asarray(pat[b9 % 6])
     off_odd = jnp.asarray(pat[(3 + b9) % 6])
-    # T3_V3_SROWS=max: the syndrome dot computes only the groups' max
-    # r = 26-k rows instead of all 8 -- for the headline luma-UEP config
-    # (k in {20, 22}, rmax = 6) that trims the dot's FLOPs and its output
-    # (and the folded-offset constant) by 25%.  Rows >= a group's own r
-    # were always masked out of ok; every group (incl. the beacon band's
-    # k) has r <= rmax, so the trim is a pure dead-row deletion.  The
-    # lhs keeps the chip-proven joint (3, 26) contraction shape.
-    rmax_g = max(rs.N - k for k, _lo, _hi in groups)
-    srows = (rmax_g if os.environ.get("T3_V3_SROWS", "8") == "max" else 8)
+    # one r=8 syndrome dot serves every band (trimming it to the groups'
+    # max r measured NEUTRAL -- the dot was already DMA-hidden, so the
+    # T3_V3_SROWS knob was retired; docs/PERF.md round-2 ledger)
+    srows = 8
     S8 = jnp.asarray(
         np.asarray(rs._matrices_pm(18)["S2"])
         .reshape(3, 8, 3, rs.N)[:, :srows]
@@ -747,28 +832,35 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
         rmask[:, :rs.N - k, :, lo:hi] = True
     if b0 >= 0:
         rmask[:, :, b0 // 3, b0 % 3] = False
+    # block-range mask: v2's check covers exactly the 16-ceil page region
+    # [0, nblk_p) per band -- when nblk_u is already a 16-multiple and
+    # H % 26 != 0, the partial tail block (dead stream-pad cells, never
+    # read back) lies OUTSIDE it and is deliberately unchecked there;
+    # match that block range exactly (test_beacon_v3_bit_exact caught the
+    # divergence on a (sf=300, 13x7, beacon) config in round 3)
+    nblk_pg = max(-(-(H // rs.N) // 16) * 16, 16)
+    bk_i = 13 * np.arange(M)[:, None] + np.arange(13)
+    rmask = rmask & (bk_i < nblk_pg)
     rmask = jnp.asarray(rmask)
     C_bw = np.asarray(pl._unpack702_bw())
     i27 = np.arange(27)
     C_dm_np = C_bw[3 * (i27 % NUM_BANDS) + i27 // NUM_BANDS]
-    C_dm = jnp.asarray(C_dm_np)
-    # blocked-assembly variant: same constant with the (d, u, v) row factors
-    # split out so the contraction consumes the group outputs directly --
-    # the flat variant's merge-to-8710/ re-split-to-(MB, 26) reshapes
-    # materialized (~57 ms / 32 frames in the v3 trace)
+    # blocked-assembly constant: the (d, u, v) row factors split out so the
+    # final contraction consumes the group outputs directly -- the flat
+    # variant's merge-to-8710/re-split-to-(MB, 26) reshapes materialized
+    # (~57 ms / 32 frames in the v3 trace; its T3_V3_ASM knob is retired)
     C_dm5 = jnp.asarray(C_dm_np.reshape(3, 3, 3, *C_dm_np.shape[1:]))
     extract = [(k, lo, hi, jnp.asarray(_extract_const(k)))
                for k, lo, hi in groups]
-    # T3_V3_DESCR=fold (check/none modes): the wire divmod digits stay
+    # Folded descramble (check/none modes): the wire divmod digits stay
     # UNdescrambled; the per-cell scramble offsets -- data-independent --
     # fold through the linear syndrome/extraction stages into small
     # host-built output-side constants.  Drops the (9, NB*26) offset
     # where/mul/sub from the hot digit-grid fusion (the offsets were the
     # only reason the grid pass touched f32 broadcast state).  The paged
     # path keeps the descrambled grid (its correction machinery reads it
-    # pervasively).
-    fold_scr = (rs_mode in ("check", "none")
-                and os.environ.get("T3_V3_DESCR", "fold") == "fold")
+    # pervasively).  Chip A/B 42.39 -> 43.88 (docs/PERF.md).
+    fold_scr = rs_mode in ("check", "none")
     if fold_scr:
         h9 = np.arange(NB * 26)
         off_np = np.where((h9 & 1) == 0, pat[b9[:, None] % 6],
@@ -848,31 +940,39 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
         # v2's P5 assembly constant, (9 r, 27 w)-shaped for the blocked dot
         U702 = jnp.asarray(
             np.asarray(pl._stream702()).reshape(3, 234, NUM_BANDS, 27))
-    p5_fuse = (p5 and _fuse_ok(hdr.tile.w, hdr.tile.h)
-               and os.environ.get("T3_P5_FUSE", "1") == "1")
+    dfuse_on = p5 and os.environ.get("T3_P5_FUSE", "1") == "1"
+    p5_fuse = dfuse_on and _fuse_ok(hdr.tile.w, hdr.tile.h)
+    p5_gen = dfuse_on and not p5_fuse   # id/rev mask decomposition
     # the fused dot consumes block PAIRS: pad the grid to an even block
     # count (the extra block is zero stream tail, never read back)
     MBa = MB + (MB & 1) if p5_fuse else MB
-    if p5_fuse:
+    if p5_fuse or p5_gen:
         A5 = hdr.tile.w * hdr.tile.h
         nfull5 = (L_out5 // A5) * A5
         B0_5 = nfull5 // 234
         WE_5 = -(-L_out5 // 234)
         T0_5 = (234 * B0_5 // A5) * A5
         W0_5 = T0_5 // 234
-        CUj = jnp.asarray(_fuse_dec_const(hdr.tile.w, hdr.tile.h))
         # single-plane (u,v,c) -> t fold for the tail segment (the d axis
         # of _fold234_dec is identical planes; it rides the flattened rows)
         F2j = jnp.asarray(np.asarray(_fold234_dec())[0].reshape(234, 234))
-    # the beacon, P5, and paged paths are built on the blocked assembly only
-    asm = ("blk" if b0 >= 0 or p5 or rs_mode == "paged"
-           else os.environ.get("T3_V3_ASM", "blk"))
+    if p5_fuse:
+        CUj = jnp.asarray(_fuse_dec_const(hdr.tile.w, hdr.tile.h))
+    if p5_gen:
+        CUid_j = jnp.asarray(_fuse_id_consts()[1])         # (702, 9, 27)
+        mkd_j = jnp.asarray(_flip_mask(MBa, hdr.tile.w, hdr.tile.h))
+        rev_win = 234 % hdr.tile.w != 0
+        if rev_win:
+            R3d, Pw = _rev_windows(hdr.tile.w)
+            R3d_j = jnp.asarray(R3d)
+            MBp = -(-MBa // Pw) * Pw
+        else:
+            R702d_j = jnp.asarray(_rev702(hdr.tile.w))
     # paged repair replicates v2's page geometry exactly (16-block pages
     # over the band's ceil-to-16 block count) so correction decisions --
     # including beyond-capacity overflow -- are bit-identical
     nblk_p = max(-(-nblk_u // 16) * 16, 16)
-    PT = (jnp.float32 if os.environ.get("T3_V3_DOTF", "0") == "1"
-          else jnp.int32)
+    PT = jnp.int32
 
     if b0 >= 0:
         u0, v0 = b0 // 3, b0 % 3
@@ -912,7 +1012,7 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
         oks = []
         if rs_mode == "none":
             ok = jnp.asarray(True)
-        elif rs_mode == "paged":
+        elif rs_mode in ("paged", "full"):
             S_pg = lax.dot_general(S8, dig, (((1, 2), (0, 5)), ((), ())),
                                    preferred_element_type=PT)
             S_pg = fmod3(S_pg.astype(jnp.float32)).astype(jnp.int8) \
@@ -931,10 +1031,9 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
                       if mkS_part is not None else S)
                 S = jnp.where(mkS_full, S + OffS_base, St)
             S = fmod3(S)                                   # (d', r8, u, v, ...)
-            # uniform bands: every grid block is checked, INCLUDING the
-            # partial tail (real wire cells + zero pad) -- v2's check path
-            # pads the grid to 16-block pages and checks all of them, so
-            # a corrupted tail cell flags the superframe there too
+            # uniform bands: exactly the blocks v2's 16-ceil page region
+            # covers are checked (rmask carries the [0, nblk_pg) block
+            # range -- see the rmask build for the tail-cell edge case)
             ok = ~jnp.any((S != 0.0) & rmask)
         outs = []
         for gi, (k, lo, hi, Ek) in enumerate(extract):
@@ -953,207 +1052,256 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
                 pgf = pg.astype(jnp.float32)
                 pg = fmod3(jnp.where(mk_, pgf + op_, pgf))
             pg = pg.astype(jnp.int8)                       # (3, 3, gv, M, Lk, 26)
-            if asm == "blk":
-                # merge only (M, Lk) -> grid block B = m*Lk + J; the 26
-                # stays a separate axis end-to-end (no flatten/re-split)
-                pf = pg.reshape(3, 3, hi - lo, M * Lk, 26)
-                pf = (pf[:, :, :, :MBa] if M * Lk >= MBa
-                      else jnp.pad(pf, ((0, 0),) * 3
-                                   + ((0, MBa - M * Lk), (0, 0))))
-                if rs_mode == "paged":
-                    # page-compacted correction on the blocked grid,
-                    # replicating _decode_body_fn's v2 paged machinery
-                    # byte-for-byte (same band-major page order, capacity,
-                    # slot-gather merge, ok semantics) -- only the pre
-                    # (divmod/descramble), extraction, and assembly around
-                    # it take the cheap v3 structure
-                    gv = hi - lo
-                    g = 3 * gv
-                    r = rs.N - k
-                    npage = nblk_p // 16
-                    dgb = dg.transpose(1, 2, 0, 3, 4, 5) \
-                        .reshape(3, gv, 3, NB, 26)         # (u, v, d, blk, c)
-                    dgb = (jnp.pad(dgb, ((0, 0),) * 3
-                                   + ((0, nblk_p - NB), (0, 0)))
-                           if nblk_p > NB else dgb[:, :, :, :nblk_p])
-                    Ug = dgb.reshape(g, 3, npage, 16, 26)
-                    Sg = S_pg[:, :r, :, lo:hi].reshape(3, r, 3, gv, NB)
-                    Sg = (jnp.pad(Sg, ((0, 0),) * 4 + ((0, nblk_p - NB),))
-                          if nblk_p > NB else Sg[..., :nblk_p])
-                    Sg = Sg.reshape(3, r, g, nblk_p)
-                    dirty = jnp.any(Sg.reshape(3 * r, g, nblk_p) != 0,
-                                    axis=0)
-                    C = min(g * npage, max(6, g))
-                    pdirty = jnp.any(dirty.reshape(g, npage, 16), axis=2) \
-                        .reshape(-1)                       # (g*npage,)
-                    pidx = jnp.sort(jnp.where(pdirty,
-                                              jnp.arange(g * npage),
-                                              g * npage))[:C]
-                    psafe = jnp.where(pidx < g * npage, pidx, 0)
-                    bb = psafe // npage
-                    pp = psafe - bb * npage
-                    g_rd = Ug[bb, :, pp]                   # (C, 3, 16, 26)
-                    g_rd = g_rd.transpose(1, 3, 0, 2) \
-                        .reshape(3, rs.N, C * 16)
-                    Sv = Sg.transpose(2, 0, 1, 3) \
-                        .reshape(g, 3, r, npage, 16)[bb, :, :, pp] \
-                        .transpose(1, 2, 0, 3).reshape(3, r, C * 16)
-                    d_c, ok_c = rs._correct_pm(g_rd, Sv, k)
-                    delta_g = _m3i(d_c - g_rd[:, :k])
-                    rank = jnp.cumsum(pdirty.astype(jnp.int32)) - 1
-                    slot = jnp.clip(rank, 0, C - 1)
-                    use_corr = pdirty & (rank < C)
-                    dpages = delta_g.reshape(3, k, C, 16) \
-                        .transpose(2, 0, 3, 1).reshape(C, 3, 16 * k)
-                    delta = jnp.where(use_corr[:, None, None],
-                                      dpages[slot], jnp.int8(0)) \
-                        .reshape(g, npage, 3, 16 * k).transpose(0, 2, 1, 3) \
-                        .reshape(g, 3, nblk_p * k)
-                    ok_pages = ok_c.reshape(C, 16)[slot]
-                    okb = jnp.where(use_corr[:, None], ok_pages,
-                                    (~dirty).reshape(g * npage, 16))
-                    oks.append(okb.reshape(-1))
-                    # deltas re-blocked from (blk, k) coords to the 26-col
-                    # grid stream; corrections past the full codewords are
-                    # dropped like v2's [:nblk_u] stream truncation
-                    dstream = jnp.pad(
-                        delta[:, :, :nblk_u * k],
-                        ((0, 0), (0, 0), (0, MBa * 26 - nblk_u * k)))
-                    dpf = dstream.reshape(3, gv, 3, MBa, 26) \
-                        .transpose(2, 0, 1, 3, 4)          # (d, u, v, MB, c)
-                    pf = _m3i(pf + dpf)
-            else:
-                pf = pg.reshape(3, 3, hi - lo, M * Lk * 26)
-                pf = (pf[..., :MB * 26] if pf.shape[-1] >= MB * 26
-                      else jnp.pad(pf, ((0, 0),) * 3
-                                   + ((0, MB * 26 - pf.shape[-1]),)))
+            # merge only (M, Lk) -> grid block B = m*Lk + J; the 26
+            # stays a separate axis end-to-end (no flatten/re-split)
+            pf = pg.reshape(3, 3, hi - lo, M * Lk, 26)
+            pf = (pf[:, :, :, :MBa] if M * Lk >= MBa
+                  else jnp.pad(pf, ((0, 0),) * 3
+                               + ((0, MBa - M * Lk), (0, 0))))
+            if rs_mode == "paged":
+                # page-compacted correction on the blocked grid,
+                # replicating _decode_body_fn's v2 paged machinery
+                # byte-for-byte (same band-major page order, capacity,
+                # slot-gather merge, ok semantics) -- only the pre
+                # (divmod/descramble), extraction, and assembly around
+                # it take the cheap v3 structure
+                gv = hi - lo
+                g = 3 * gv
+                r = rs.N - k
+                npage = nblk_p // 16
+                dgb = dg.transpose(1, 2, 0, 3, 4, 5) \
+                    .reshape(3, gv, 3, NB, 26)         # (u, v, d, blk, c)
+                dgb = (jnp.pad(dgb, ((0, 0),) * 3
+                               + ((0, nblk_p - NB), (0, 0)))
+                       if nblk_p > NB else dgb[:, :, :, :nblk_p])
+                Ug = dgb.reshape(g, 3, npage, 16, 26)
+                Sg = S_pg[:, :r, :, lo:hi].reshape(3, r, 3, gv, NB)
+                Sg = (jnp.pad(Sg, ((0, 0),) * 4 + ((0, nblk_p - NB),))
+                      if nblk_p > NB else Sg[..., :nblk_p])
+                Sg = Sg.reshape(3, r, g, nblk_p)
+                dirty = jnp.any(Sg.reshape(3 * r, g, nblk_p) != 0,
+                                axis=0)
+                C = min(g * npage, max(6, g))
+                pdirty = jnp.any(dirty.reshape(g, npage, 16), axis=2) \
+                    .reshape(-1)                       # (g*npage,)
+                pidx = jnp.sort(jnp.where(pdirty,
+                                          jnp.arange(g * npage),
+                                          g * npage))[:C]
+                psafe = jnp.where(pidx < g * npage, pidx, 0)
+                bb = psafe // npage
+                pp = psafe - bb * npage
+                g_rd = Ug[bb, :, pp]                   # (C, 3, 16, 26)
+                g_rd = g_rd.transpose(1, 3, 0, 2) \
+                    .reshape(3, rs.N, C * 16)
+                Sv = Sg.transpose(2, 0, 1, 3) \
+                    .reshape(g, 3, r, npage, 16)[bb, :, :, pp] \
+                    .transpose(1, 2, 0, 3).reshape(3, r, C * 16)
+                d_c, ok_c = rs._correct_pm(g_rd, Sv, k)
+                delta_g = _m3i(d_c - g_rd[:, :k])
+                rank = jnp.cumsum(pdirty.astype(jnp.int32)) - 1
+                slot = jnp.clip(rank, 0, C - 1)
+                use_corr = pdirty & (rank < C)
+                dpages = delta_g.reshape(3, k, C, 16) \
+                    .transpose(2, 0, 3, 1).reshape(C, 3, 16 * k)
+                delta = jnp.where(use_corr[:, None, None],
+                                  dpages[slot], jnp.int8(0)) \
+                    .reshape(g, npage, 3, 16 * k).transpose(0, 2, 1, 3) \
+                    .reshape(g, 3, nblk_p * k)
+                ok_pages = ok_c.reshape(C, 16)[slot]
+                okb = jnp.where(use_corr[:, None], ok_pages,
+                                (~dirty).reshape(g * npage, 16))
+                oks.append(okb.reshape(-1))
+                # deltas re-blocked from (blk, k) coords to the 26-col
+                # grid stream; corrections past the full codewords are
+                # dropped like v2's [:nblk_u] stream truncation
+                dstream = jnp.pad(
+                    delta[:, :, :nblk_u * k],
+                    ((0, 0), (0, 0), (0, MBa * 26 - nblk_u * k)))
+                dpf = dstream.reshape(3, gv, 3, MBa, 26) \
+                    .transpose(2, 0, 1, 3, 4)          # (d, u, v, MB, c)
+                pf = _m3i(pf + dpf)
+            elif rs_mode == "full":
+                # unconditional BM/Chien/Forney over EVERY block of the
+                # group (adversarially dense damage, v2 full semantics:
+                # the chain runs on all nblk_p page-padded blocks and ok
+                # covers them all); the correction lands as a delta on
+                # the already-extracted blocked data, like paged
+                gv = hi - lo
+                g = 3 * gv
+                r = rs.N - k
+                dgb = dg.transpose(1, 2, 0, 3, 4, 5) \
+                    .reshape(3, gv, 3, NB, 26)         # (u, v, d, blk, c)
+                dgb = (jnp.pad(dgb, ((0, 0),) * 3
+                               + ((0, nblk_p - NB), (0, 0)))
+                       if nblk_p > NB else dgb[:, :, :, :nblk_p])
+                g_rd = dgb.reshape(g, 3, nblk_p, 26) \
+                    .transpose(1, 3, 0, 2).reshape(3, rs.N, g * nblk_p)
+                Sg = S_pg[:, :r, :, lo:hi].reshape(3, r, 3, gv, NB)
+                Sg = (jnp.pad(Sg, ((0, 0),) * 4 + ((0, nblk_p - NB),))
+                      if nblk_p > NB else Sg[..., :nblk_p])
+                Sv = Sg.reshape(3, r, g * nblk_p)
+                d_c, ok_c = rs._correct_pm(g_rd, Sv, k)
+                oks.append(ok_c)
+                delta = _m3i(d_c - g_rd[:, :k]) \
+                    .reshape(3, k, g, nblk_p).transpose(2, 0, 3, 1) \
+                    .reshape(g, 3, nblk_p * k)
+                dstream = jnp.pad(
+                    delta[:, :, :nblk_u * k],
+                    ((0, 0), (0, 0), (0, MBa * 26 - nblk_u * k)))
+                dpf = dstream.reshape(3, gv, 3, MBa, 26) \
+                    .transpose(2, 0, 1, 3, 4)
+                pf = _m3i(pf + dpf)
             outs.append(pf)
-        if rs_mode == "paged":
+        if rs_mode in ("paged", "full"):
             ok = jnp.all(jnp.concatenate(oks))
-        if asm == "blk":
-            M5 = jnp.concatenate(outs, axis=2)             # (3, 3, 3, MB, 26)
-            if b0 >= 0:
-                # beacon band: inverse splice (drop the beacon column of
-                # the (S, p) row grid), check/extract its own codewords,
-                # overwrite the group machinery's throwaway column
-                if blocks0:
-                    bcol = dig[:, u0, v0].reshape(3, NB * 26)[:, :H]
-                    if fold_scr:
-                        # descramble just this column (the folded grid is
-                        # raw digits); pilot cells keep a junk offset but
-                        # the (S, p)[:, 1:] payload slice below drops them
-                        bcol = fmod3(bcol.astype(jnp.float32)
-                                     + (3.0 - off_col)).astype(jnp.int8)
-                    bcol = jnp.pad(bcol, ((0, 0), (0, Sb_ * p - H)))
-                    bstr = bcol.reshape(3, Sb_, p)[:, :, 1:] \
-                        .reshape(3, SLb)[:, :blocks0 * 26]
-                    bcw = jnp.pad(
-                        bstr, ((0, 0), (0, M0 * 13 * 26 - blocks0 * 26))) \
-                        .reshape(3, M0, 13, 26)
-                    if rs_mode != "none":
-                        Sb = lax.dot_general(S8, bcw,
-                                             (((1, 2), (0, 3)), ((), ())),
-                                             preferred_element_type=PT)
-                        Sb = fmod3(Sb.astype(jnp.float32)) \
-                            .reshape(3, srows, M0, 13)
-                        bblk_ok = (lax.broadcasted_iota(
-                            jnp.int32, (M0, 13), 0) * 13
-                            + lax.broadcasted_iota(
-                                jnp.int32, (M0, 13), 1)) < blocks0
-                        ok = ok & ~jnp.any(
-                            (Sb[:, :r0] != 0.0) & bblk_ok)
-                    pf0 = lax.dot_general(bcw, Ek0,
-                                          (((2, 3), (0, 1)), ((), ())),
-                                          preferred_element_type=jnp.int32) \
-                        .astype(jnp.int8).reshape(3, M0 * Lk0, 26)
-                    pf0 = (pf0[:, :MB] if M0 * Lk0 >= MB
-                           else jnp.pad(pf0, ((0, 0), (0, MB - M0 * Lk0),
-                                              (0, 0))))
-                else:
-                    pf0 = jnp.zeros((3, MB, 26), dtype=jnp.int8)
-                M5 = M5.at[:, u0, v0].set(pf0)
+        M5 = jnp.concatenate(outs, axis=2)             # (3, 3, 3, MB, 26)
+        if b0 >= 0:
+            # beacon band: inverse splice (drop the beacon column of
+            # the (S, p) row grid), check/extract its own codewords,
+            # overwrite the group machinery's throwaway column
+            if blocks0:
+                bcol = dig[:, u0, v0].reshape(3, NB * 26)[:, :H]
+                if fold_scr:
+                    # descramble just this column (the folded grid is
+                    # raw digits); pilot cells keep a junk offset but
+                    # the (S, p)[:, 1:] payload slice below drops them
+                    bcol = fmod3(bcol.astype(jnp.float32)
+                                 + (3.0 - off_col)).astype(jnp.int8)
+                bcol = jnp.pad(bcol, ((0, 0), (0, Sb_ * p - H)))
+                bstr = bcol.reshape(3, Sb_, p)[:, :, 1:] \
+                    .reshape(3, SLb)[:, :blocks0 * 26]
+                bcw = jnp.pad(
+                    bstr, ((0, 0), (0, M0 * 13 * 26 - blocks0 * 26))) \
+                    .reshape(3, M0, 13, 26)
+                if rs_mode != "none":
+                    Sb = lax.dot_general(S8, bcw,
+                                         (((1, 2), (0, 3)), ((), ())),
+                                         preferred_element_type=PT)
+                    Sb = fmod3(Sb.astype(jnp.float32)) \
+                        .reshape(3, srows, M0, 13)
+                    bblk_ok = (lax.broadcasted_iota(
+                        jnp.int32, (M0, 13), 0) * 13
+                        + lax.broadcasted_iota(
+                            jnp.int32, (M0, 13), 1)) < blocks0
+                    ok = ok & ~jnp.any(
+                        (Sb[:, :r0] != 0.0) & bblk_ok)
+                pf0 = lax.dot_general(bcw, Ek0,
+                                      (((2, 3), (0, 1)), ((), ())),
+                                      preferred_element_type=jnp.int32) \
+                    .astype(jnp.int8).reshape(3, M0 * Lk0, 26)
+                pf0 = (pf0[:, :MBa] if M0 * Lk0 >= MBa
+                       else jnp.pad(pf0, ((0, 0), (0, MBa - M0 * Lk0),
+                                          (0, 0))))
+            else:
+                pf0 = jnp.zeros((3, MBa, 26), dtype=jnp.int8)
+            M5 = M5.at[:, u0, v0].set(pf0)
+        if p5_fuse or p5_gen:
+            # snake-composed P5: single-702-contraction dots from the
+            # (B, u, v, d, c)-transposed data grid straight to RAW words
+            # -- the deinterleave is folded into CUj (_fuse_dec_const)
+            # for half-eligible tiles, or applied as the id/rev mask
+            # decomposition (_rev702/_rev_windows/_flip_mask -- the
+            # snake is an involution, so the SAME constants as encode)
+            # before the straight CU_id rebuild dot; the final partial
+            # tile / stream-end word blocks are rebuilt through the
+            # stream machinery on a tiny grid segment.  Joint (3, 3, 26)
+            # contractions miscompile under vmap (_fuse_dec_const);
+            # one grid transpose buys the safe single-dim shape.
+            M5g = M5.transpose(3, 1, 2, 0, 4)      # (B, u, v, d, c)
             if p5_fuse:
-                # snake-composed P5: one single-702-contraction dot per
-                # block-pair half from the (B, u, v, d, c)-transposed data
-                # grid straight to RAW words -- the deinterleave is folded
-                # into CUj (_fuse_dec_const); the final partial tile /
-                # stream-end word blocks are rebuilt through the stream
-                # machinery on a tiny grid segment.  Joint (3, 3, 26)
-                # contractions miscompile under vmap (_fuse_dec_const);
-                # one grid transpose buys the safe single-dim shape.
-                M5g = M5.transpose(3, 1, 2, 0, 4)      # (B, u, v, d, c)
                 M5t = M5g.reshape(MBa // 2, 2, 702)
                 wm = jnp.stack(
                     [lax.dot_general(M5t[:, hf], CUj[hf],
                                      (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.int32)
-                     for hf in range(2)])              # (2, MBa/2, 9, 27)
-                outs_w = []
-                nb_main = min(B0_5, N7w)
-                if nb_main:
-                    main_T = wm.astype(jnp.int8).transpose(2, 1, 0, 3) \
-                        .reshape(NUM_BANDS, MBa * 27)
-                    outs_w.append(main_T[:, :27 * nb_main])
-                if N7w > B0_5:
-                    Msg = M5g[W0_5:WE_5].transpose(3, 0, 1, 2, 4) \
-                        .reshape(3 * (WE_5 - W0_5), 234)
-                    seg = lax.dot_general(
-                        Msg, F2j, (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.int32) \
-                        .astype(jnp.int8).reshape(3, (WE_5 - W0_5) * 234)
-                    seg = seg[:, T0_5 - 234 * W0_5:L_out5 - 234 * W0_5]
-                    sde = interleave.deinterleave(seg, hdr.tile.w,
-                                                  hdr.tile.h)
-                    suf = sde[:, 234 * B0_5 - T0_5:]
-                    TL5 = 234 * (N7w - B0_5)
-                    suf = (suf[:, :TL5] if suf.shape[1] >= TL5
-                           else jnp.pad(suf,
-                                        ((0, 0), (0, TL5 - suf.shape[1]))))
-                    stw = suf.reshape(3, N7w - B0_5, 234)
-                    wt = sum(
-                        lax.dot_general(stw[d], U702[d],
-                                        (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.int32)
-                        for d in range(3)).astype(jnp.int8)
-                    outs_w.append(wt.transpose(1, 0, 2)
-                                  .reshape(NUM_BANDS, (N7w - B0_5) * 27))
-                out_T = (jnp.concatenate(outs_w, axis=1)
-                         if len(outs_w) > 1 else outs_w[0])[:, :n_out]
-                return out_T, ok
-            if p5:
-                # P5: unfold the data grid back to stream planes (index
-                # 234*n7 + 9i + 3u + v), deinterleave on (3, L), rebuild
-                # the RAW words with the 702-period contraction
-                st = lax.dot_general(M5, jnp.asarray(_fold234_dec()),
-                                     (((1, 2, 4), (1, 2, 3)), ((0,), (0,))),
-                                     preferred_element_type=jnp.int32) \
-                    .astype(jnp.int8).reshape(3, 234 * MB)
-                st = interleave.deinterleave(st[:, :L_out5],
-                                             hdr.tile.w, hdr.tile.h)
-                st = (jnp.pad(st, ((0, 0), (0, 234 * N7w - L_out5)))
-                      if 234 * N7w > L_out5 else st[:, :234 * N7w])
-                stw = st.reshape(3, N7w, 234)
-                # one dot per digit plane, summed: the joint
-                # ((3 d, 234 t)) contraction MISCOMPILES under vmap on
-                # XLA:TPU (see _fold234_enc)
-                wout5 = sum(
+                     for hf in range(2)])          # (2, MBa/2, 9, 27)
+                main_T_full = (lambda: wm.astype(jnp.int8)
+                               .transpose(2, 1, 0, 3)
+                               .reshape(NUM_BANDS, MBa * 27))
+            else:
+                Gid = M5g.reshape(MBa, 702)
+                if rev_win:
+                    Gp = jnp.pad(Gid, ((1, 1 + MBp - MBa), (0, 0)))
+                    Gr = sum(
+                        lax.dot_general(
+                            Gp[dlt:dlt + MBp].reshape(MBp // Pw, Pw, 702),
+                            R3d_j[dlt], (((2,), (1,)), ((1,), (0,))),
+                            preferred_element_type=jnp.int32)
+                        for dlt in range(3))       # (Pw, MBp/Pw, 702)
+                    Gr = Gr.astype(jnp.int8).transpose(1, 0, 2) \
+                        .reshape(MBp, 702)[:MBa]
+                else:
+                    Gr = lax.dot_general(Gid, R702d_j,
+                                         (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.int32) \
+                        .astype(jnp.int8)
+                Gm = jnp.where(mkd_j, Gr.reshape(MBa, 3, 3, 3, 26),
+                               Gid.reshape(MBa, 3, 3, 3, 26)) \
+                    .reshape(MBa, 702)
+                wm = lax.dot_general(Gm, CUid_j,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+                main_T_full = (lambda: wm.astype(jnp.int8)
+                               .transpose(1, 0, 2)
+                               .reshape(NUM_BANDS, MBa * 27))
+            outs_w = []
+            nb_main = min(B0_5, N7w)
+            if nb_main:
+                outs_w.append(main_T_full()[:, :27 * nb_main])
+            if N7w > B0_5:
+                Msg = M5g[W0_5:WE_5].transpose(3, 0, 1, 2, 4) \
+                    .reshape(3 * (WE_5 - W0_5), 234)
+                seg = lax.dot_general(
+                    Msg, F2j, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32) \
+                    .astype(jnp.int8).reshape(3, (WE_5 - W0_5) * 234)
+                seg = seg[:, T0_5 - 234 * W0_5:L_out5 - 234 * W0_5]
+                sde = interleave.deinterleave(seg, hdr.tile.w,
+                                              hdr.tile.h)
+                suf = sde[:, 234 * B0_5 - T0_5:]
+                TL5 = 234 * (N7w - B0_5)
+                suf = (suf[:, :TL5] if suf.shape[1] >= TL5
+                       else jnp.pad(suf,
+                                    ((0, 0), (0, TL5 - suf.shape[1]))))
+                stw = suf.reshape(3, N7w - B0_5, 234)
+                wt = sum(
                     lax.dot_general(stw[d], U702[d],
                                     (((1,), (0,)), ((), ())),
                                     preferred_element_type=jnp.int32)
-                    for d in range(3)).astype(jnp.int8)    # (N7w, 9, 27)
-                out_T = wout5.transpose(1, 0, 2) \
-                    .reshape(NUM_BANDS, N7w * 27)[:, :n_out]
-                return out_T, ok
-            wout = lax.dot_general(C_dm5, M5,
-                                   (((0, 1, 2, 3), (0, 1, 2, 4)), ((), ())),
-                                   preferred_element_type=jnp.int32) \
-                .astype(jnp.int8)                          # (243, MB)
-        else:
-            M27d = jnp.concatenate(outs, axis=2) \
-                .reshape(27, MB, 26)                       # rows 9d + b
-            wout = lax.dot_general(C_dm, M27d, (((0, 1), (0, 2)), ((), ())),
-                                   preferred_element_type=jnp.int32) \
-                .astype(jnp.int8)                          # (243, MB)
+                    for d in range(3)).astype(jnp.int8)
+                outs_w.append(wt.transpose(1, 0, 2)
+                              .reshape(NUM_BANDS, (N7w - B0_5) * 27))
+            out_T = (jnp.concatenate(outs_w, axis=1)
+                     if len(outs_w) > 1 else outs_w[0])[:, :n_out]
+            return out_T, ok
+        if p5:
+            # P5: unfold the data grid back to stream planes (index
+            # 234*n7 + 9i + 3u + v), deinterleave on (3, L), rebuild
+            # the RAW words with the 702-period contraction
+            st = lax.dot_general(M5, jnp.asarray(_fold234_dec()),
+                                 (((1, 2, 4), (1, 2, 3)), ((0,), (0,))),
+                                 preferred_element_type=jnp.int32) \
+                .astype(jnp.int8).reshape(3, 234 * MB)
+            st = interleave.deinterleave(st[:, :L_out5],
+                                         hdr.tile.w, hdr.tile.h)
+            st = (jnp.pad(st, ((0, 0), (0, 234 * N7w - L_out5)))
+                  if 234 * N7w > L_out5 else st[:, :234 * N7w])
+            stw = st.reshape(3, N7w, 234)
+            # one dot per digit plane, summed: the joint
+            # ((3 d, 234 t)) contraction MISCOMPILES under vmap on
+            # XLA:TPU (see _fold234_enc)
+            wout5 = sum(
+                lax.dot_general(stw[d], U702[d],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+                for d in range(3)).astype(jnp.int8)    # (N7w, 9, 27)
+            out_T = wout5.transpose(1, 0, 2) \
+                .reshape(NUM_BANDS, N7w * 27)[:, :n_out]
+            return out_T, ok
+        wout = lax.dot_general(C_dm5, M5,
+                               (((0, 1, 2, 3), (0, 1, 2, 4)), ((), ())),
+                               preferred_element_type=jnp.int32) \
+            .astype(jnp.int8)                          # (243, MB)
         out_T = wout.reshape(NUM_BANDS, 27, MB).transpose(0, 2, 1) \
             .reshape(NUM_BANDS, MB * 27)[:, :n_out]
         return out_T, ok

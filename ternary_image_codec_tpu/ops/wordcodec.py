@@ -118,6 +118,118 @@ def words13_to_quant(codes):
 
 
 # ---------------------------------------------------------------------------
+# fused plane-major ingest/egress (the streaming e2e hot path)
+#
+# RGB pixels -> word9 planes and back as ONE fused elementwise chain in
+# exact f32 arithmetic: integer % and // lower to real division on the TPU
+# VPU (measured ~60x slower, docs/PERF.md "float32 trit arithmetic"), and
+# the (n, 3)/(n, 9) minor-dim layouts of the generic API pad their tiny
+# minor axes to 128 lanes on every pass.  Inputs/outputs are PLANE-major:
+# RGB (3, 2, m) uint8 [channel, pixel-parity, word] and words (9, m) int8
+# -- the pair split is host staging, exactly like raw_wire="planes".
+# Bit-exact vs the generic rgb_to_quant/quant_to_words9 path
+# (tests/test_wordcodec.py) incl. the C++ double-lround fixups.
+# ---------------------------------------------------------------------------
+
+
+def _f32_floordiv(num, den: float):
+    """Exact floor(num / den) for f32-exact integer num >= 0: the f32
+    reciprocal multiply may land one ulp either side of an exact quotient,
+    so apply a one-step +-1 correction (docs/PERF.md float-trit rule)."""
+    c = jnp.floor(num * jnp.float32(1.0 / den))
+    rem = num - c * jnp.float32(den)
+    c = c + (rem >= jnp.float32(den)) - (rem < 0)
+    return c
+
+
+def _lround_ratio_f32(n, p: int, q: int):
+    """Exact f32 lround(n * p / q) (round half away from zero) for integer
+    f32 n with |2*p*n + q| well inside f32's exact-integer range."""
+    mag = _f32_floordiv(2.0 * p * jnp.abs(n) + q, 2 * q)
+    return jnp.where(n < 0, -mag, mag)
+
+
+def ingest9_planes(rgb):
+    """(3, 2, m) uint8 planar RGB -> (9, m) int8 word9 planes.
+
+    The full reference ingest math -- BT.601 RGB->YCbCr with lround
+    (include/io_image.hpp:66-93), quantization (:80-99), and the 2px/word
+    trit pack (old/.../v6_min.hpp:693-747) -- as one fused f32 chain."""
+    from . import quant as qt
+    x = jnp.asarray(rgb).astype(jnp.float32)          # (3, 2, m)
+    r, g, b = x[0], x[1], x[2]                        # (2, m) each
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    # lround_f32 + clip (values in [0, 255])
+    rnd = lambda v: jnp.clip(jnp.where(v < 0, -jnp.floor(0.5 - v),
+                                       jnp.floor(v + 0.5)), 0.0, 255.0)
+    y, cb, cr = rnd(y), rnd(cb), rnd(cr)
+    yq = jnp.clip(_lround_ratio_f32(y, 242, 255), 0.0, 242.0)
+    cbq = jnp.clip(_lround_ratio_f32(cb - 128.0, 40, 128), -40.0, 40.0) + 40.0
+    crq = jnp.clip(_lround_ratio_f32(cr - 128.0, 40, 128), -40.0, 40.0) + 40.0
+    # 13 trits per pixel: Yq 5, Cbq+40 4, Crq+40 4 (f32 divmod chains)
+    def dig(v, n):
+        out = []
+        for _ in range(n):
+            q3 = _f32_floordiv(v, 3.0)
+            out.append(v - 3.0 * q3)
+            v = q3
+        return out
+    t = dig(yq, 5) + dig(cbq, 4) + dig(crq, 4)        # 13 x (2, m)
+    # word symbol s = t[3s] + 3 t[3s+1] + 9 t[3s+2] over the 27-trit pair
+    # layout [a 0..12 | b 13..25 | 0]; trit j of pixel-parity e is t[j][e]
+    t27 = [t[j][0] for j in range(13)] + [t[j][1] for j in range(13)] \
+        + [jnp.zeros_like(t[0][0])]
+    syms = [t27[3 * s] + 3.0 * t27[3 * s + 1] + 9.0 * t27[3 * s + 2]
+            for s in range(9)]
+    return jnp.stack(syms, axis=0).astype(jnp.int8)   # (9, m)
+
+
+def egress9_planes(wplanes):
+    """(9, m) int8 word9 planes -> (3, 2, m) uint8 planar RGB (the fused
+    reverse bridge: trit unpack, dequantization with the C++ double-lround
+    fixups, YCbCr->RGB -- include/io_image.hpp:94-124 semantics)."""
+    from . import quant as qt
+    w = jnp.asarray(wplanes).astype(jnp.float32)      # (9, m)
+    t27 = []
+    for s in range(9):
+        v = w[s]
+        q1 = _f32_floordiv(v, 3.0)
+        q2 = _f32_floordiv(q1, 3.0)
+        t27 += [v - 3.0 * q1, q1 - 3.0 * q2, q2]
+    def undig(ts):
+        acc = ts[0]
+        for i, tt in enumerate(ts[1:], 1):
+            acc = acc + float(3 ** i) * tt
+        return acc
+    outs = []
+    for base in (0, 13):                              # pixel a / b
+        yq = undig(t27[base:base + 5])
+        cbq = undig(t27[base + 5:base + 9]) - 40.0
+        crq = undig(t27[base + 9:base + 13]) - 40.0
+        y = _lround_ratio_f32(yq, 255, 242)
+        for n_in, n_out in zip(qt._Y_FIX_IN, qt._Y_FIX_OUT):
+            y = jnp.where(yq == float(n_in), jnp.float32(n_out), y)
+        cb = _lround_ratio_f32(cbq, 128, 40)
+        cr = _lround_ratio_f32(crq, 128, 40)
+        for n_in, n_out in zip(qt._C_FIX_IN, qt._C_FIX_OUT):
+            cb = jnp.where(cbq == float(n_in), jnp.float32(n_out), cb)
+            cr = jnp.where(crq == float(n_in), jnp.float32(n_out), cr)
+        y = jnp.clip(y, 0.0, 255.0)
+        cb = jnp.clip(128.0 + cb, 0.0, 255.0) - 128.0
+        cr = jnp.clip(128.0 + cr, 0.0, 255.0) - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rnd = lambda v: jnp.clip(jnp.where(v < 0, -jnp.floor(0.5 - v),
+                                           jnp.floor(v + 0.5)), 0.0, 255.0)
+        outs.append([rnd(r), rnd(g), rnd(b)])
+    return jnp.stack([jnp.stack([outs[0][c], outs[1][c]], axis=0)
+                      for c in range(3)], axis=0).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
 # subword-validating API parity (src/ternary_image_codec_v6_min.cpp:104-155)
 # ---------------------------------------------------------------------------
 

@@ -37,7 +37,7 @@ CFGS = [
                   superframe_words=512, seed=ScramblerSeed(0, 2, 1)),
     # P5 2D-interleave: 26x26 takes the snake-composed fused path with
     # 234/w = 9 odd (parity-pair constants); 8x4 has w not dividing 234 ->
-    # the v3 stream branch (partial final tile -> the perm-take path)
+    # the general id/rev fuse with shifted-window class dots
     EncoderConfig(profile=ProfileID.P5_RS26_22_2D, uep=uep_luma_priority(),
                   tile=Tile2D(26, 26), superframe_words=512),
     EncoderConfig(profile=ProfileID.P5_RS26_22_2D, uep=uep_uniform(1),
@@ -51,10 +51,17 @@ CFGS = [
     # fused path, h == 1 (the snake is the identity)
     EncoderConfig(profile=ProfileID.P5_RS26_22_2D, uep=uep_uniform(1),
                   tile=Tile2D(6, 1), superframe_words=512),
-    # h odd > 1: flip pattern depends on R mod h -> NOT fuse-eligible,
-    # stays on the stream branch even though w | 234
+    # h odd > 1 with w | 234: general fuse, block-aligned rev702 dot
     EncoderConfig(profile=ProfileID.P5_RS26_22_2D, uep=uep_luma_priority(),
                   tile=Tile2D(26, 5), superframe_words=300),
+    # general fuse, w not dividing 234: Pw = 5 and Pw = 25 window classes
+    EncoderConfig(profile=ProfileID.P5_RS26_22_2D, uep=uep_luma_priority(),
+                  tile=Tile2D(5, 5), superframe_words=512),
+    EncoderConfig(profile=ProfileID.P5_RS26_22_2D, uep=uep_uniform(1),
+                  tile=Tile2D(25, 25), superframe_words=300),
+    # general fuse, w | 234 with odd h (13x7 -- a VERDICT round-3 exemplar)
+    EncoderConfig(profile=ProfileID.P5_RS26_22_2D, uep=uep_luma_priority(),
+                  tile=Tile2D(13, 7), superframe_words=512),
 ]
 
 
@@ -82,7 +89,7 @@ def test_encode_v3_bit_exact(ci):
 
 
 @pytest.mark.parametrize("ci", range(len(CFGS)))
-@pytest.mark.parametrize("rs_mode", ["check", "none", "paged"])
+@pytest.mark.parametrize("rs_mode", ["check", "none", "paged", "full"])
 def test_decode_v3_bit_exact(ci, rs_mode):
     cfg = CFGS[ci]
     raw = _raw(cfg.superframe_words, seed=7 * ci)
@@ -113,72 +120,17 @@ def test_decode_v3_bit_exact(ci, rs_mode):
         o3, k3 = pipeline._decode_body_fn(dlay, rs_mode, wire="planes")(inp)
         assert np.array_equal(o2, np.asarray(o3))
         assert k2 == bool(k3) == want_clean
-        if want_clean and rs_mode in ("check", "paged"):
+        if want_clean and rs_mode in ("check", "paged", "full"):
             got = np.asarray(o3).T[:raw.shape[0]]
             assert np.array_equal(got, raw)
 
 
-@pytest.mark.parametrize("knob,val", [
-    ("T3_V3_YSPLIT", "0"),      # single big Y dot + group slices
-    ("T3_V3_PAR", "grid"),      # parity via the second grid contraction
-    ("T3_V3_DESCR", "scr"),     # descramble materialized in the digit grid
-    ("T3_V3_SROWS", "max"),     # syndrome dot trimmed to the groups' max r
-])
-@pytest.mark.parametrize("ci", [0, 2])   # luma-priority P2 + beaconless P1
-def test_v3_stage_knobs_bit_exact(ci, knob, val):
-    """The encode/decode stage-structure knobs (per-group Y dots, parity
-    from data words, folded descramble -- all default-on after chip A/Bs,
-    docs/PERF.md) are pure layout changes: each non-default setting must
-    produce identical wire bytes / decoded words / ok flags."""
-    import dataclasses
-    cfg = CFGS[ci]
-    if ci == 2:  # add a beacon variant of the P1 config for the fold path
-        cfg = dataclasses.replace(cfg, beacon=SparseBeaconCfg(13, 4, True))
-    raw = jnp.asarray(_raw(cfg.superframe_words, seed=91 + ci))
-    layout = pipeline.build_encode_layout(cfg, int(raw.shape[0]))
-    hdr = SuperframeHeader(profile=cfg.profile, uep=cfg.uep, tile=cfg.tile,
-                           seed=cfg.seed, beacon=cfg.beacon,
-                           subword=cfg.subword, centered=cfg.centered,
-                           coset=cfg.coset)
-    dlay = pipeline.build_decode_layout(
-        hdr, layout.total_words - pipeline.HEADER_WORDS)
-
-    def run():
-        pipeline_v3.encode_fn_v3.cache_clear()
-        pipeline_v3.check_decode_fn_v3.cache_clear()
-        w = pipeline_v3.encode_fn_v3(layout, raw_wire="words")(raw)
-        body = w[:, pipeline.HEADER_WORDS:]
-        bad = body.at[4, 100].set((body[4, 100] + 1) % 27)
-        outs = [np.asarray(w)]
-        for mode in ("check", "none"):
-            f = pipeline_v3.check_decode_fn_v3(dlay, mode)
-            for inp in (body, bad):
-                o, k = f(inp)
-                outs.append(np.asarray(o))
-                outs.append(np.asarray(k))
-        return outs
-
-    ref = run()
-    old = os.environ.get(knob)
-    os.environ[knob] = val
-    try:
-        got = run()
-    finally:
-        if old is None:
-            os.environ.pop(knob, None)
-        else:
-            os.environ[knob] = old
-        pipeline_v3.encode_fn_v3.cache_clear()
-        pipeline_v3.check_decode_fn_v3.cache_clear()
-    for a, b in zip(ref, got):
-        assert np.array_equal(a, b)
-
-
-@pytest.mark.parametrize("ci", [4, 6, 7, 8])
+@pytest.mark.parametrize("ci", [4, 5, 6, 7, 8, 9, 10, 11, 12])
 def test_p5_fuse_knob_bit_exact(ci):
-    """T3_P5_FUSE=0 forces the v3 stream branch; the snake-composed fused
-    default must produce identical wire AND decoded bytes (the fused
-    constants, pair geometry, and tail fix-up are pure restructures)."""
+    """T3_P5_FUSE=0 forces the v3 stream branch; the fused default (2-half
+    snake-composed or the general id/rev decomposition, by tile) must
+    produce identical wire AND decoded bytes (the fused constants, pair
+    geometry, and tail fix-up are pure restructures)."""
     cfg = CFGS[ci]
     from ternary_image_codec_tpu.ops import pipeline_v3
     for n in (cfg.superframe_words, 233, 26):
@@ -263,43 +215,6 @@ def test_paged_v3_overflow_bit_exact(ci):
             assert bool(k3) == want_ok, name
 
 
-@pytest.mark.parametrize("yord", ["p702", "blocks"])
-@pytest.mark.parametrize("asm", ["flat", "blk"])
-def test_v3_layout_knobs_bit_exact(yord, asm):
-    """T3_V3_YORD / T3_V3_ASM pick structurally different contraction
-    orders; every combination must be bit-exact vs v2."""
-    cfg = CFGS[0]
-    raw = _raw(cfg.superframe_words, seed=11)
-    old = {k: os.environ.get(k) for k in ("T3_V3_YORD", "T3_V3_ASM")}
-    os.environ["T3_V3_YORD"] = yord
-    os.environ["T3_V3_ASM"] = asm
-    pipeline_v3.encode_fn_v3.cache_clear()
-    pipeline_v3.check_decode_fn_v3.cache_clear()
-    try:
-        layout, w2, w3 = _enc_both(cfg, jnp.asarray(raw))
-        assert np.array_equal(w2, w3)
-        hdr = SuperframeHeader(profile=cfg.profile, uep=cfg.uep,
-                               tile=cfg.tile, seed=cfg.seed,
-                               beacon=cfg.beacon, subword=cfg.subword,
-                               centered=cfg.centered, coset=cfg.coset)
-        dlay = pipeline.build_decode_layout(
-            hdr, layout.total_words - pipeline.HEADER_WORDS)
-        body = jnp.asarray(w3[:, pipeline.HEADER_WORDS:])
-        bad = body.at[2, 57].set((body[2, 57] + 1) % 27)
-        o3, k3 = pipeline_v3.check_decode_fn_v3(dlay, "check")(body)
-        assert bool(k3)
-        assert np.array_equal(np.asarray(o3).T[:raw.shape[0]], raw)
-        _ob, kb = pipeline_v3.check_decode_fn_v3(dlay, "check")(bad)
-        assert not bool(kb)
-    finally:
-        for k, v in old.items():
-            os.environ.pop(k, None) if v is None else os.environ.__setitem__(k, v)
-        pipeline_v3.encode_fn_v3.cache_clear()
-        pipeline_v3.check_decode_fn_v3.cache_clear()
-        pipeline._encode_fn.cache_clear()
-        pipeline._decode_body_fn.cache_clear()
-
-
 BEACON_CFGS = [
     # flagship shape: luma-priority UEP + period-13 beacon (H % 26 == 0)
     EncoderConfig(profile=ProfileID.P2_RS26_22, uep=uep_luma_priority(),
@@ -313,7 +228,19 @@ BEACON_CFGS = [
     # maximum period + odd stream length
     EncoderConfig(profile=ProfileID.P2_RS26_22,
                   beacon=SparseBeaconCfg(26, 3, True), superframe_words=777),
+    # P5 + beacon (round-3): the interleaved stream fold composes with the
+    # beacon splice -- half-fuse tile, general-fuse tile, window tile
+    EncoderConfig(profile=ProfileID.P5_RS26_22_2D, uep=uep_luma_priority(),
+                  tile=Tile2D(26, 26), beacon=SparseBeaconCfg(13, 4, True),
+                  superframe_words=512),
+    EncoderConfig(profile=ProfileID.P5_RS26_22_2D,
+                  tile=Tile2D(13, 7), beacon=SparseBeaconCfg(7, 0, True),
+                  superframe_words=300),
+    EncoderConfig(profile=ProfileID.P5_RS26_22_2D, uep=uep_luma_priority(),
+                  tile=Tile2D(5, 5), beacon=SparseBeaconCfg(2, 8, True),
+                  superframe_words=512),
 ]
+
 
 
 @pytest.mark.parametrize("ci", range(len(BEACON_CFGS)))
@@ -368,14 +295,14 @@ def test_beacon_v3_bit_exact(ci):
 
 
 def test_v3_ineligible_configs_fall_back():
-    # P5 + beacon still falls back to v2 (the v3 stream branch has no
-    # beacon support); plain P5 and beacon configs are v3-eligible
+    # P5 + beacon is v3-eligible since round 3 (the stream fold composes
+    # with the beacon splice); plain P5 and beacon configs likewise
     p5b = EncoderConfig(profile=ProfileID.P5_RS26_22_2D, tile=Tile2D(8, 8),
                         beacon=SparseBeaconCfg(words_period=7,
                                                band_slot=2, enabled=True),
                         superframe_words=256)
     lay5b = pipeline.build_encode_layout(p5b, 256)
-    assert not pipeline_v3.encode_supported(lay5b)
+    assert pipeline_v3.encode_supported(lay5b)
     p5 = EncoderConfig(profile=ProfileID.P5_RS26_22_2D, tile=Tile2D(8, 8),
                        superframe_words=256)
     lay5 = pipeline.build_encode_layout(p5, 256)

@@ -9,8 +9,14 @@ full v3 P5 encode+decode vmapped over a 128-superframe batch on the chip
 and diffs every wire/output byte against a CPU golden (computed by a
 subprocess forced onto the CPU backend).
 
+Round 3 adds --tile WxH (default 26x26) and --beacon so the general
+id/rev fuse (_rev702 / _rev_windows / _flip_mask) and the P5+beacon
+composition can be swept on chip; `--tile all` runs a representative
+matrix (half-fuse, block-aligned rev, window classes, odd h, beacon).
+
 Usage: python tools/chip_p5_verify.py [--batch 128] [--sf 8192]
-Prints one JSON verdict line.
+                                      [--tile WxH|all] [--beacon]
+Prints one JSON verdict line per (tile, beacon) combination.
 """
 import argparse
 import json
@@ -24,14 +30,17 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _build(sf, batch):
+def _build(sf, batch, tile=(26, 26), beacon=False):
     import jax.numpy as jnp
     from ternary_image_codec_tpu.config import (EncoderConfig, ProfileID,
-                                                Tile2D, uep_luma_priority)
+                                                SparseBeaconCfg, Tile2D,
+                                                uep_luma_priority)
     from ternary_image_codec_tpu.ops import pipeline
 
     cfg = EncoderConfig(profile=ProfileID.P5_RS26_22_2D,
-                        uep=uep_luma_priority(), tile=Tile2D(26, 26),
+                        uep=uep_luma_priority(), tile=Tile2D(*tile),
+                        beacon=(SparseBeaconCfg(13, 4, True) if beacon
+                                else SparseBeaconCfg()),
                         superframe_words=sf)
     r = np.random.default_rng(7)
     t = r.integers(0, 3, size=(batch, sf, 27)).astype(np.int8)
@@ -41,12 +50,12 @@ def _build(sf, batch):
     return cfg, pipeline, jnp.asarray(raw)
 
 
-def run(sf, batch, rs_mode):
+def run(sf, batch, rs_mode, tile, beacon):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
-    cfg, pipeline, raw = _build(sf, batch)
+    cfg, pipeline, raw = _build(sf, batch, tile, beacon)
     from ternary_image_codec_tpu.config import SuperframeHeader
     layout = pipeline.build_encode_layout(cfg, sf)
     hdr = SuperframeHeader(profile=cfg.profile, uep=cfg.uep, tile=cfg.tile,
@@ -73,6 +82,9 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--sf", type=int, default=8192)
     ap.add_argument("--rs-mode", default="check")
+    ap.add_argument("--tile", default="26x26",
+                    help="WxH, or 'all' for the representative matrix")
+    ap.add_argument("--beacon", action="store_true")
     ap.add_argument("--cpu-golden", metavar="OUT_NPZ",
                     help="internal: compute on CPU and save")
     args = ap.parse_args()
@@ -80,30 +92,56 @@ def main():
     if args.cpu_golden:
         import jax
         jax.config.update("jax_platforms", "cpu")
-        w, out, ok = run(args.sf, args.batch, args.rs_mode)
+        w_, h_ = map(int, args.tile.split("x"))
+        w, out, ok = run(args.sf, args.batch, args.rs_mode, (w_, h_),
+                         args.beacon)
         np.savez(args.cpu_golden, w=w, out=out, ok=ok)
         return
 
-    with tempfile.NamedTemporaryFile(suffix=".npz") as f:
-        print("computing CPU golden...", file=sys.stderr)
-        subprocess.run([sys.executable, os.path.abspath(__file__),
-                        "--batch", str(args.batch), "--sf", str(args.sf),
-                        "--rs-mode", args.rs_mode, "--cpu-golden", f.name],
-                       check=True)
-        g = np.load(f.name)
-        print("running on chip...", file=sys.stderr)
-        w, out, ok = run(args.sf, args.batch, args.rs_mode)
-        verdict = {
-            "rs_mode": args.rs_mode,
-            "batch": args.batch,
-            "wire_equal": bool(np.array_equal(w, g["w"])),
-            "wire_bad_cells": int((w != g["w"]).sum()),
-            "out_equal": bool(np.array_equal(out, g["out"])),
-            "out_bad_cells": int((out != g["out"]).sum()),
-            "ok_equal": bool(np.array_equal(ok, g["ok"])),
-            "ok_all": bool(ok.all()),
-        }
-        print(json.dumps(verdict))
+    if args.tile == "all":
+        # half-fuse (26x26), rev702 block-aligned (13x7, 26x5), window
+        # classes Pw=5/25 (5x5, 25x25), and the flagship beacon combo
+        matrix = [((26, 26), False), ((13, 7), False), ((26, 5), False),
+                  ((5, 5), False), ((25, 25), False), ((26, 26), True),
+                  ((5, 5), True)]
+    else:
+        w_, h_ = map(int, args.tile.split("x"))
+        matrix = [((w_, h_), args.beacon)]
+
+    bad = 0
+    for tile, beacon in matrix:
+        tl = f"{tile[0]}x{tile[1]}"
+        with tempfile.NamedTemporaryFile(suffix=".npz") as f:
+            print(f"computing CPU golden ({tl} beacon={beacon})...",
+                  file=sys.stderr)
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--batch", str(args.batch), "--sf", str(args.sf),
+                   "--rs-mode", args.rs_mode, "--tile", tl,
+                   "--cpu-golden", f.name]
+            if beacon:
+                cmd.append("--beacon")
+            subprocess.run(cmd, check=True)
+            g = np.load(f.name)
+            print(f"running on chip ({tl} beacon={beacon})...",
+                  file=sys.stderr)
+            w, out, ok = run(args.sf, args.batch, args.rs_mode, tile,
+                             beacon)
+            verdict = {
+                "rs_mode": args.rs_mode,
+                "batch": args.batch,
+                "tile": tl,
+                "beacon": beacon,
+                "wire_equal": bool(np.array_equal(w, g["w"])),
+                "wire_bad_cells": int((w != g["w"]).sum()),
+                "out_equal": bool(np.array_equal(out, g["out"])),
+                "out_bad_cells": int((out != g["out"]).sum()),
+                "ok_equal": bool(np.array_equal(ok, g["ok"])),
+                "ok_all": bool(ok.all()),
+            }
+            bad += not (verdict["wire_equal"] and verdict["out_equal"]
+                        and verdict["ok_equal"])
+            print(json.dumps(verdict))
+    sys.exit(1 if bad else 0)
 
 
 if __name__ == "__main__":

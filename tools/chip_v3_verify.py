@@ -86,12 +86,39 @@ def main():
                 jnp.asarray(dirty), cfg, n, sf_batch=sfb, strategy="paged")
             fix_ok = (bool(dok) == gok
                       and np.array_equal(np.asarray(dout), gout))
-            status = ("OK" if (ndiff == 0 and dec_ok and fix_ok)
+            # auto-strategy dirty leg: the production two-phase path runs
+            # a DIFFERENT fused program (check decode + gather + paged
+            # repair + scatter merge in one dispatch, re-batched by
+            # T3_REPAIR_SFB) -- miscompile safety is per fused PROGRAM
+            # (docs/PERF.md "third sighting"), so it gets its own sweep
+            # at the repair batch sizes the benches actually dispatch
+            with jax.default_device(cpu):
+                ga_out, ga_ok = pipeline.decode_stream_superframes(
+                    jnp.asarray(dirty), cfg, n, sf_batch=sfb,
+                    strategy="auto")
+                ga_out, ga_ok = np.asarray(ga_out), bool(ga_ok)
+            aout, aok = pipeline.decode_stream_superframes(
+                jnp.asarray(dirty), cfg, n, sf_batch=sfb, strategy="auto")
+            auto_ok = (bool(aok) == ga_ok
+                       and np.array_equal(np.asarray(aout), ga_out))
+            # full-mode leg: the v3 unconditional-chain decode (round 3)
+            with jax.default_device(cpu):
+                gf_out, gf_ok = pipeline.decode_stream_superframes(
+                    jnp.asarray(dirty), cfg, n, sf_batch=sfb,
+                    strategy="full")
+                gf_out, gf_ok = np.asarray(gf_out), bool(gf_ok)
+            fout, fok = pipeline.decode_stream_superframes(
+                jnp.asarray(dirty), cfg, n, sf_batch=sfb, strategy="full")
+            full_ok = (bool(fok) == gf_ok
+                       and np.array_equal(np.asarray(fout), gf_out))
+            status = ("OK" if (ndiff == 0 and dec_ok and fix_ok and auto_ok
+                              and full_ok)
                       else "FAIL")
             bad += status == "FAIL"
             print(f"{status} sfb={sfb:<4} {name:<18} "
                   f"enc_diff={ndiff} dec_ok={bool(ok)} dec_exact={dec_ok} "
-                  f"paged_fix_exact={fix_ok}")
+                  f"paged_fix_exact={fix_ok} auto_fix_exact={auto_ok} "
+                  f"full_exact={full_ok}")
             if ndiff:
                 w = np.argwhere(prof != gold)
                 print(f"     first wrong: {w[:3].tolist()} "
