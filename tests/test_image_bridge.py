@@ -135,3 +135,52 @@ class TestMatrixSweep:
         I.words_to_image_subword(got, SubwordMode.S15, ww, hh, out_png)
         back = I.load_image_rgb8(out_png)
         assert np.abs(back.astype(int) - rgb.astype(int)).max() <= 4
+
+
+class TestFusedPlaneIngestEgress:
+    """wordcodec.ingest9_planes / egress9_planes (the streaming e2e hot
+    path, exact-f32 fused chains) must be bit-exact vs the generic
+    rgb_to_quant + quant_to_words9 path -- including the C++
+    double-lround dequantization fixups -- over full-range pixels."""
+
+    def _rgb(self, n_px, seed):
+        r = np.random.default_rng(seed)
+        return r.integers(0, 256, size=(n_px, 3)).astype(np.uint8)
+
+    @pytest.mark.parametrize("n_px", [2 * 4096, 2 * 613])
+    def test_ingest_bit_exact(self, n_px):
+        rgb = self._rgb(n_px, n_px)
+        q = Q.rgb_to_quant(jnp.asarray(rgb))
+        words = np.asarray(WC.quant_to_words9(q))          # (m, 9)
+        rgbp = jnp.asarray(rgb.reshape(-1, 2, 3).transpose(2, 1, 0))
+        wp = np.asarray(WC.ingest9_planes(rgbp))           # (9, m)
+        np.testing.assert_array_equal(wp, words.T)
+
+    @pytest.mark.parametrize("n_px", [2 * 4096, 2 * 613])
+    def test_egress_bit_exact(self, n_px):
+        rgb = self._rgb(n_px, 31 + n_px)
+        q = Q.rgb_to_quant(jnp.asarray(rgb))
+        words = np.asarray(WC.quant_to_words9(q))
+        q2 = WC.words9_to_quant(jnp.asarray(words))
+        ref = np.asarray(Q.quant_to_rgb(q2)) \
+            .reshape(-1, 2, 3).transpose(2, 1, 0)
+        got = np.asarray(WC.egress9_planes(jnp.asarray(words.T)))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_boundary_values(self):
+        # every (Y, Cb, Cr) extreme incl. the double-lround fixup inputs
+        grid = np.stack(np.meshgrid([0, 1, 121, 127, 128, 254, 255],
+                                    [0, 128, 255], [0, 128, 255],
+                                    indexing="ij"), axis=-1).reshape(-1, 3)
+        rgb = np.ascontiguousarray(grid[:len(grid) // 2 * 2]) \
+            .astype(np.uint8)
+        q = Q.rgb_to_quant(jnp.asarray(rgb))
+        words = np.asarray(WC.quant_to_words9(q))
+        rgbp = jnp.asarray(rgb.reshape(-1, 2, 3).transpose(2, 1, 0))
+        wp = np.asarray(WC.ingest9_planes(rgbp))
+        np.testing.assert_array_equal(wp, words.T)
+        ref = np.asarray(Q.quant_to_rgb(
+            WC.words9_to_quant(jnp.asarray(words)))) \
+            .reshape(-1, 2, 3).transpose(2, 1, 0)
+        got = np.asarray(WC.egress9_planes(jnp.asarray(words.T)))
+        np.testing.assert_array_equal(got, ref)
