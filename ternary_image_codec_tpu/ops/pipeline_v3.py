@@ -233,15 +233,20 @@ def _fuse_ok(w: int, h: int) -> bool:
 
 
 @functools.cache
-def _tau234(w: int, h: int, par: int) -> np.ndarray:
+def _tau234(w: int, h: int, cls: int) -> np.ndarray:
     """Within-block composed snake: interleaved position t (in a block of
-    parity `par`) reads pre-interleave position tau[t].  Involution."""
+    flip-class `cls`) reads pre-interleave position tau[t].  Involution.
+
+    Block n7 starts at global row q*n7 (q = 234/w rows per block, w | 234),
+    and row R flips iff (R mod h) is odd, so the per-block pattern depends
+    only on cls = n7 mod Ph with Ph = h / gcd(q, h) (h even collapses to
+    block parity: (q*cls + rho) mod h keeps the parity of q*cls + rho)."""
     t = np.arange(234)
     if h == 1:
         return t
     q = 234 // w
     rho, c = np.divmod(t, w)
-    flip = ((q % 2) * par + rho) % 2 == 1
+    flip = ((q * cls + rho) % h) % 2 == 1
     return np.where(flip, w * rho + (w - 1) - c, t)
 
 
@@ -335,6 +340,41 @@ def _fuse_id_consts():
     return (np.ascontiguousarray(
                 np.asarray(_fuse_enc_const(1, 1))[0].reshape(27, 27, 702)),
             np.ascontiguousarray(np.asarray(_fuse_dec_const(1, 1))[0]))
+
+
+def _cls_ph(w: int, h: int) -> int:
+    """Number of distinct per-block flip classes for w | 234 (see
+    _tau234): Ph = h / gcd(234/w, h) <= 25 for legal tiles."""
+    import math
+    return h // math.gcd(234 // w, h)
+
+
+@functools.cache
+def _cls_consts(w: int, h: int):
+    """(Ph, VCS (Ph, 27, 27, 702) int8, CUS (Ph, 702, 9, 27) int8): the
+    per-flip-class snake-composed fuse constants for w | 234 tiles with
+    ODD h > 1 (even h collapses to 2 classes = the _fuse_enc_const half
+    path).  The within-block snake tau (an involution) is folded into the
+    identity extraction / word-rebuild constants per class, so the whole
+    interleave costs ZERO extra contractions: encode is one dot with the
+    class axis on dot batch dims (Ym[n7] = X[n7] . VCS[n7 mod Ph]), decode
+    one class-batched single-702 contraction (the chip-proven
+    _rev_windows dot family) straight to RAW words."""
+    VCid, CUid = _fuse_id_consts()
+    Ph = _cls_ph(w, h)
+    VCS = np.zeros((Ph, 27, 27, 702), dtype=np.int8)
+    CUS = np.zeros((Ph, 702, NUM_BANDS, 27), dtype=np.int8)
+    for cls in range(Ph):
+        tau = _tau234(w, h, cls)
+        p = np.empty(702, dtype=np.int64)
+        for m in range(234):
+            for d in range(3):
+                p[_cell702(m, d)] = _cell702(int(tau[m]), d)
+        # encode: Ym[out] = Y_id[tau(out)]; decode: the deinterleave is the
+        # same involution, so word = sum_src G[src] * CUid[p[src]]
+        VCS[cls] = VCid[:, :, p]
+        CUS[cls] = CUid[p]
+    return Ph, VCS, CUS
 
 
 @functools.cache
@@ -465,7 +505,9 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
     p5 = pl._is_p5(cfg.profile, cfg.tile)
     fuse_on = p5 and os.environ.get("T3_P5_FUSE", "1") == "1"
     p5_fuse = fuse_on and _fuse_ok(cfg.tile.w, cfg.tile.h)
-    p5_gen = fuse_on and not p5_fuse    # id/rev mask decomposition
+    # w | 234, odd h > 1: per-flip-class fused constants (_cls_consts)
+    p5_cls = fuse_on and not p5_fuse and 234 % cfg.tile.w == 0
+    p5_gen = fuse_on and not p5_fuse and not p5_cls   # id/rev mask decomp
     if p5_fuse:
         nblk7 += nblk7 & 1          # paired 54-word blocks for the fused dot
     if p5:
@@ -478,7 +520,7 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
         L_out5 = int(min(NUM_BANDS * dlens5[b] + b for b in range(NUM_BANDS)))
         assert L_out5 <= 234 * nblk7
         V702 = jnp.asarray(_stream_const())
-    if p5_fuse or p5_gen:
+    if p5_fuse or p5_cls or p5_gen:
         # snake-composed fast path geometry: blocks < B0_5 come straight
         # from the fused dot (whole tiles only); blocks [B0_5, WE_5) are
         # rebuilt from the stream segment [T0_5, L_out5) (the containing
@@ -492,6 +534,10 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
         W0_5 = T0_5 // 234
     if p5_fuse:
         VCj = jnp.asarray(_fuse_enc_const(cfg.tile.w, cfg.tile.h))
+    if p5_cls:
+        Ph5, VCS5, _CUS5 = _cls_consts(cfg.tile.w, cfg.tile.h)
+        VCSj = jnp.asarray(VCS5)
+        nblk7c = -(-nblk7 // Ph5) * Ph5   # class-dot pad (sliced back)
     if p5_gen:
         VCid_j = jnp.asarray(_fuse_id_consts()[0])         # (27, 27, 702)
         mk_j = jnp.asarray(_flip_mask(nblk7, cfg.tile.w, cfg.tile.h))
@@ -590,7 +636,7 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
             axis=0).astype(jnp.int8)                       # (27, 27*nblk7)
         X3 = pl_dig.reshape(27, nblk7, 27)
         parts = []
-        if p5_fuse or p5_gen:
+        if p5_fuse or p5_cls or p5_gen:
             if p5_fuse:
                 # snake-composed P5: one contraction PER BLOCK-PAIR HALF
                 # from the word digit planes straight to the interleaved
@@ -607,6 +653,21 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
                                      preferred_element_type=jnp.int32)
                      for hf in range(2)], axis=1)
                 Ym = Ym.astype(jnp.int8).reshape(nblk7, 3, 3, 3, 26)
+            elif p5_cls:
+                # per-flip-class fuse (w | 234, odd h > 1): ONE dot with
+                # the class axis on dot batch dims -- the snake rides the
+                # per-class constant (_cls_consts), so no rev/select pass
+                # and no extra contraction vs the half path.  The class
+                # pad blocks are zero words (sliced back off below).
+                Xc = (jnp.pad(pl_dig, ((0, 0), (0, (nblk7c - nblk7) * 27)))
+                      if nblk7c > nblk7 else pl_dig)
+                X5 = Xc.reshape(27, nblk7c // Ph5, Ph5, 27)
+                Ymc = lax.dot_general(X5, VCSj,
+                                      (((0, 3), (1, 2)), ((2,), (0,))),
+                                      preferred_element_type=jnp.int32)
+                Ym = Ymc.astype(jnp.int8).transpose(1, 0, 2) \
+                    .reshape(nblk7c, 702)[:nblk7] \
+                    .reshape(nblk7, 3, 3, 3, 26)
             else:
                 # general id/rev mask decomposition (any legal tile): the
                 # straight extraction dot (the chip-proven (27 row,
@@ -942,11 +1003,13 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
             np.asarray(pl._stream702()).reshape(3, 234, NUM_BANDS, 27))
     dfuse_on = p5 and os.environ.get("T3_P5_FUSE", "1") == "1"
     p5_fuse = dfuse_on and _fuse_ok(hdr.tile.w, hdr.tile.h)
-    p5_gen = dfuse_on and not p5_fuse   # id/rev mask decomposition
+    # w | 234, odd h > 1: per-flip-class fused constants (_cls_consts)
+    p5_cls = dfuse_on and not p5_fuse and 234 % hdr.tile.w == 0
+    p5_gen = dfuse_on and not p5_fuse and not p5_cls  # id/rev mask decomp
     # the fused dot consumes block PAIRS: pad the grid to an even block
     # count (the extra block is zero stream tail, never read back)
     MBa = MB + (MB & 1) if p5_fuse else MB
-    if p5_fuse or p5_gen:
+    if p5_fuse or p5_cls or p5_gen:
         A5 = hdr.tile.w * hdr.tile.h
         nfull5 = (L_out5 // A5) * A5
         B0_5 = nfull5 // 234
@@ -958,6 +1021,10 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
         F2j = jnp.asarray(np.asarray(_fold234_dec())[0].reshape(234, 234))
     if p5_fuse:
         CUj = jnp.asarray(_fuse_dec_const(hdr.tile.w, hdr.tile.h))
+    if p5_cls:
+        Ph5, _VCS5, CUS5 = _cls_consts(hdr.tile.w, hdr.tile.h)
+        CUSj = jnp.asarray(CUS5)
+        MBc = -(-MBa // Ph5) * Ph5        # class-dot pad (sliced back)
     if p5_gen:
         CUid_j = jnp.asarray(_fuse_id_consts()[1])         # (702, 9, 27)
         mkd_j = jnp.asarray(_flip_mask(MBa, hdr.tile.w, hdr.tile.h))
@@ -1195,7 +1262,7 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
             else:
                 pf0 = jnp.zeros((3, MBa, 26), dtype=jnp.int8)
             M5 = M5.at[:, u0, v0].set(pf0)
-        if p5_fuse or p5_gen:
+        if p5_fuse or p5_cls or p5_gen:
             # snake-composed P5: single-702-contraction dots from the
             # (B, u, v, d, c)-transposed data grid straight to RAW words
             # -- the deinterleave is folded into CUj (_fuse_dec_const)
@@ -1218,6 +1285,22 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
                 main_T_full = (lambda: wm.astype(jnp.int8)
                                .transpose(2, 1, 0, 3)
                                .reshape(NUM_BANDS, MBa * 27))
+            elif p5_cls:
+                # per-flip-class fuse: one class-batched single-702
+                # contraction (the chip-proven _rev_windows dot family)
+                # straight to RAW words -- the deinterleave (the same
+                # involution) rides CUS (_cls_consts)
+                Gc = M5g.reshape(MBa, 702)
+                if MBc > MBa:
+                    Gc = jnp.pad(Gc, ((0, MBc - MBa), (0, 0)))
+                G5 = Gc.reshape(MBc // Ph5, Ph5, 702)
+                wmc = lax.dot_general(G5, CUSj,
+                                      (((2,), (1,)), ((1,), (0,))),
+                                      preferred_element_type=jnp.int32)
+                main_T_full = (lambda: wmc.astype(jnp.int8)
+                               .transpose(2, 1, 0, 3)
+                               .reshape(NUM_BANDS, MBc * 27)
+                               [:, :MBa * 27])
             else:
                 Gid = M5g.reshape(MBa, 702)
                 if rev_win:
