@@ -392,6 +392,59 @@ def _rev702(w: int) -> np.ndarray:
     return R
 
 
+def _win_pa(w: int, h: int) -> int:
+    """Full-fold class period for w not dividing 234: the per-block snake
+    pattern (reversal targets AND row parity) depends on
+    (234*n7) mod (w*h), i.e. Pa = w*h / gcd(w*h, 234) classes."""
+    import math
+    A5 = w * h
+    return A5 // math.gcd(A5, 234)
+
+
+#: full-fold eligibility bound: (3, Pa, 27, 27, 702) int8 encode constants
+#: stay <= ~120 MB.  Tiles past it (e.g. 25x25, Pa = 625) ride the id/rev
+#: mask decomposition instead.
+_WIN_PA_MAX = 26
+
+
+@functools.cache
+def _win_consts(w: int, h: int):
+    """(Pa, VCS (3, Pa, 27, 27, 702) int8, CUS (3, Pa, 702, 9, 27) int8):
+    3-delta per-class FULL-FOLD constants for w not dividing 234 with
+    Pa <= _WIN_PA_MAX: extraction, cross-block row reversal AND the row
+    parity select all folded per class (cls = n7 mod Pa), so the whole
+    interleave is three class-batched dots over prev/self/next block
+    views -- encode the V702 (27, 27)-joint shape, decode the single-702
+    contraction, both with the class axis on dot batch dims (the
+    chip-proven families; see the 5x5 trace ledger row for why the
+    Yid + shifted-window + select decomposition was retired for these
+    tiles: full s32 intermediates and 4x the extraction FLOPs)."""
+    VCid, CUid = _fuse_id_consts()
+    Pa = _win_pa(w, h)
+    VCS = np.zeros((3, Pa, 27, 27, 702), dtype=np.int8)
+    CUS = np.zeros((3, Pa, 702, NUM_BANDS, 27), dtype=np.int8)
+    for cls in range(Pa):
+        base = 234 * (cls + Pa)          # representative block, safe nbrs
+        for m in range(234):
+            t = base + m
+            R, c = divmod(t, w)
+            src = w * R + (w - 1) - c if (R % h) % 2 == 1 else t
+            rel = src - base
+            delta = 0 if rel < 0 else (1 if rel < 234 else 2)
+            lsrc = rel + 234 - 234 * delta
+            for d in range(3):
+                # encode: Ym[n7] cell (m, d) = Y_id[n7 + delta - 1][lsrc]
+                VCS[delta, cls, :, :, _cell702(m, d)] = \
+                    VCid[:, :, _cell702(lsrc, d)]
+                # decode (the same involution, same window): stream cell
+                # t of block n7 reads grid cell lsrc of block n7+delta-1,
+                # so word-rebuild row cell(lsrc, d) of that neighbor
+                # carries CUid's row for cell (m, d)
+                CUS[delta, cls, _cell702(lsrc, d)] += \
+                    CUid[_cell702(m, d)]
+    return Pa, VCS, CUS
+
+
 @functools.cache
 def _rev_windows(w: int):
     """(R (3 delta, Pw, 702, 702) int8, Pw): cross-block row reversal for
@@ -507,7 +560,11 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
     p5_fuse = fuse_on and _fuse_ok(cfg.tile.w, cfg.tile.h)
     # w | 234, odd h > 1: per-flip-class fused constants (_cls_consts)
     p5_cls = fuse_on and not p5_fuse and 234 % cfg.tile.w == 0
-    p5_gen = fuse_on and not p5_fuse and not p5_cls   # id/rev mask decomp
+    # w not dividing 234, small class period: 3-delta full fold
+    p5_win = (fuse_on and not p5_fuse and not p5_cls
+              and _win_pa(cfg.tile.w, cfg.tile.h) <= _WIN_PA_MAX)
+    p5_gen = (fuse_on and not p5_fuse and not p5_cls
+              and not p5_win)                     # id/rev mask decomp
     if p5_fuse:
         nblk7 += nblk7 & 1          # paired 54-word blocks for the fused dot
     if p5:
@@ -520,7 +577,7 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
         L_out5 = int(min(NUM_BANDS * dlens5[b] + b for b in range(NUM_BANDS)))
         assert L_out5 <= 234 * nblk7
         V702 = jnp.asarray(_stream_const())
-    if p5_fuse or p5_cls or p5_gen:
+    if p5_fuse or p5_cls or p5_win or p5_gen:
         # snake-composed fast path geometry: blocks < B0_5 come straight
         # from the fused dot (whole tiles only); blocks [B0_5, WE_5) are
         # rebuilt from the stream segment [T0_5, L_out5) (the containing
@@ -538,6 +595,10 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
         Ph5, VCS5, _CUS5 = _cls_consts(cfg.tile.w, cfg.tile.h)
         VCSj = jnp.asarray(VCS5)
         nblk7c = -(-nblk7 // Ph5) * Ph5   # class-dot pad (sliced back)
+    if p5_win:
+        Pa5, VCW5, _CUW5 = _win_consts(cfg.tile.w, cfg.tile.h)
+        VCWj = jnp.asarray(VCW5)
+        nblk7w = -(-nblk7 // Pa5) * Pa5   # class-dot pad (sliced back)
     if p5_gen:
         VCid_j = jnp.asarray(_fuse_id_consts()[0])         # (27, 27, 702)
         mk_j = jnp.asarray(_flip_mask(nblk7, cfg.tile.w, cfg.tile.h))
@@ -636,7 +697,7 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
             axis=0).astype(jnp.int8)                       # (27, 27*nblk7)
         X3 = pl_dig.reshape(27, nblk7, 27)
         parts = []
-        if p5_fuse or p5_cls or p5_gen:
+        if p5_fuse or p5_cls or p5_win or p5_gen:
             if p5_fuse:
                 # snake-composed P5: one contraction PER BLOCK-PAIR HALF
                 # from the word digit planes straight to the interleaved
@@ -668,6 +729,24 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
                 Ym = Ymc.astype(jnp.int8).transpose(1, 0, 2) \
                     .reshape(nblk7c, 702)[:nblk7] \
                     .reshape(nblk7, 3, 3, 3, 26)
+            elif p5_win:
+                # 3-delta full-fold (w not dividing 234, small Pa): the
+                # whole interleave is three class-batched (27, 27)-joint
+                # dots over prev/self/next block views (_win_consts);
+                # contributions are disjoint, so the s8 sum is exact.
+                Xw = jnp.pad(pl_dig,
+                             ((0, 0), (27, 27 * (nblk7w - nblk7 + 1))))
+                Ymw = sum(
+                    lax.dot_general(
+                        Xw[:, 27 * dlt:27 * (dlt + nblk7w)]
+                        .reshape(27, nblk7w // Pa5, Pa5, 27),
+                        VCWj[dlt], (((0, 3), (1, 2)), ((2,), (0,))),
+                        preferred_element_type=jnp.int32)
+                    .astype(jnp.int8)
+                    for dlt in range(3))          # (Pa, nY, 702)
+                Ym = Ymw.transpose(1, 0, 2) \
+                    .reshape(nblk7w, 702)[:nblk7] \
+                    .reshape(nblk7, 3, 3, 3, 26)
             else:
                 # general id/rev mask decomposition (any legal tile): the
                 # straight extraction dot (the chip-proven (27 row,
@@ -681,13 +760,19 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
                     .astype(jnp.int8)                      # (n7, 702)
                 if rev_win:
                     Zp = jnp.pad(Yid, ((1, 1 + n7p - nblk7), (0, 0)))
+                    # convert each delta dot to s8 BEFORE the sum: the
+                    # three windows have disjoint support (every reversed
+                    # cell comes from exactly one delta), and the s32 sum
+                    # chain materialized full 4-byte intermediates + adds
+                    # (5x5 trace 2026-08-20: ~25 ms/frame in these dots)
                     Yr = sum(
                         lax.dot_general(
                             Zp[dlt:dlt + n7p].reshape(n7p // Pw, Pw, 702),
                             R3j[dlt], (((2,), (1,)), ((1,), (0,))),
                             preferred_element_type=jnp.int32)
+                        .astype(jnp.int8)
                         for dlt in range(3))               # (Pw, n7p/Pw, 702)
-                    Yr = Yr.astype(jnp.int8).transpose(1, 0, 2) \
+                    Yr = Yr.transpose(1, 0, 2) \
                         .reshape(n7p, 702)[:nblk7]
                 else:
                     Yr = lax.dot_general(Yid, R702j,
@@ -1005,11 +1090,15 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
     p5_fuse = dfuse_on and _fuse_ok(hdr.tile.w, hdr.tile.h)
     # w | 234, odd h > 1: per-flip-class fused constants (_cls_consts)
     p5_cls = dfuse_on and not p5_fuse and 234 % hdr.tile.w == 0
-    p5_gen = dfuse_on and not p5_fuse and not p5_cls  # id/rev mask decomp
+    # w not dividing 234, small class period: 3-delta full fold
+    p5_win = (dfuse_on and not p5_fuse and not p5_cls
+              and _win_pa(hdr.tile.w, hdr.tile.h) <= _WIN_PA_MAX)
+    p5_gen = (dfuse_on and not p5_fuse and not p5_cls
+              and not p5_win)                    # id/rev mask decomp
     # the fused dot consumes block PAIRS: pad the grid to an even block
     # count (the extra block is zero stream tail, never read back)
     MBa = MB + (MB & 1) if p5_fuse else MB
-    if p5_fuse or p5_cls or p5_gen:
+    if p5_fuse or p5_cls or p5_win or p5_gen:
         A5 = hdr.tile.w * hdr.tile.h
         nfull5 = (L_out5 // A5) * A5
         B0_5 = nfull5 // 234
@@ -1025,6 +1114,10 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
         Ph5, _VCS5, CUS5 = _cls_consts(hdr.tile.w, hdr.tile.h)
         CUSj = jnp.asarray(CUS5)
         MBc = -(-MBa // Ph5) * Ph5        # class-dot pad (sliced back)
+    if p5_win:
+        Pa5, _VCW5, CUW5 = _win_consts(hdr.tile.w, hdr.tile.h)
+        CUWj = jnp.asarray(CUW5)
+        MBw = -(-MBa // Pa5) * Pa5        # class-dot pad (sliced back)
     if p5_gen:
         CUid_j = jnp.asarray(_fuse_id_consts()[1])         # (702, 9, 27)
         mkd_j = jnp.asarray(_flip_mask(MBa, hdr.tile.w, hdr.tile.h))
@@ -1262,7 +1355,7 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
             else:
                 pf0 = jnp.zeros((3, MBa, 26), dtype=jnp.int8)
             M5 = M5.at[:, u0, v0].set(pf0)
-        if p5_fuse or p5_cls or p5_gen:
+        if p5_fuse or p5_cls or p5_win or p5_gen:
             # snake-composed P5: single-702-contraction dots from the
             # (B, u, v, d, c)-transposed data grid straight to RAW words
             # -- the deinterleave is folded into CUj (_fuse_dec_const)
@@ -1301,17 +1394,37 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
                                .transpose(2, 1, 0, 3)
                                .reshape(NUM_BANDS, MBc * 27)
                                [:, :MBa * 27])
+            elif p5_win:
+                # 3-delta full-fold word rebuild: three class-batched
+                # single-702 contractions over prev/self/next grid views
+                # (_win_consts; disjoint support -> exact s8 sum)
+                Gw = jnp.pad(M5g.reshape(MBa, 702),
+                             ((1, MBw - MBa + 1), (0, 0)))
+                wmw = sum(
+                    lax.dot_general(
+                        Gw[dlt:dlt + MBw].reshape(MBw // Pa5, Pa5, 702),
+                        CUWj[dlt], (((2,), (1,)), ((1,), (0,))),
+                        preferred_element_type=jnp.int32)
+                    .astype(jnp.int8)
+                    for dlt in range(3))          # (Pa, MBw/Pa, 9, 27)
+                main_T_full = (lambda: wmw
+                               .transpose(2, 1, 0, 3)
+                               .reshape(NUM_BANDS, MBw * 27)
+                               [:, :MBa * 27])
             else:
                 Gid = M5g.reshape(MBa, 702)
                 if rev_win:
                     Gp = jnp.pad(Gid, ((1, 1 + MBp - MBa), (0, 0)))
+                    # s8 convert fused into each delta dot (see the encode
+                    # side): disjoint window support makes the s8 sum exact
                     Gr = sum(
                         lax.dot_general(
                             Gp[dlt:dlt + MBp].reshape(MBp // Pw, Pw, 702),
                             R3d_j[dlt], (((2,), (1,)), ((1,), (0,))),
                             preferred_element_type=jnp.int32)
+                        .astype(jnp.int8)
                         for dlt in range(3))       # (Pw, MBp/Pw, 702)
-                    Gr = Gr.astype(jnp.int8).transpose(1, 0, 2) \
+                    Gr = Gr.transpose(1, 0, 2) \
                         .reshape(MBp, 702)[:MBa]
                 else:
                     Gr = lax.dot_general(Gid, R702d_j,
