@@ -911,8 +911,10 @@ def _decode_body_fn(layout: DecodeLayout, rs_mode: str = "paged",
         # path is bit-exact (tests/test_pipeline_v3.py) but measured
         # SLOWER on the chip dirty-stream bench (27.0 vs ~28.9 dirty fps,
         # docs/PERF.md); T3_PAGED_V3=1 selects it for A/B.  Full-mode
-        # (unconditional chain) rides v3 by default since round 3
-        # (T3_FULL_V3=0 forces v2 for A/B).
+        # (unconditional chain) rides v3 by default since round 3; the
+        # chip A/B measured it NEUTRAL vs v2 (91.2 vs 90.6 ms/frame
+        # decode-only, tools/full_mode_bench.py -- the BM/Chien/Forney
+        # chain both share dominates).  T3_FULL_V3=0 forces v2 for A/B.
         v3_ok = pipeline_v3.decode_supported(layout, rs_mode) and (
             rs_mode != "paged"
             or os.environ.get("T3_PAGED_V3", "0") == "1") and (
