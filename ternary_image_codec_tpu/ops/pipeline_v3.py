@@ -50,15 +50,28 @@ ride a partial trailing grid block whose cells are the zero stream tail
 (masked out of the syndrome check, like v2 never reading them).
 
 P5 (2D interleave, old/.../v6_min.hpp:1083-1086,749-813) rides fused
-paths: tiles with (w | 234, h even|1) take the 2-half snake-composed
-dots (_fuse_enc_const/_fuse_dec_const); every OTHER legal tile takes the
-general id/rev mask decomposition (straight extraction dot + row-reversal
-permutation contractions + an elementwise row-parity select -- see the
-"general P5 fuse" section).  T3_P5_FUSE=0 forces the round-2 stream
-branch (extract stream planes, interleave on (3, L), fold back).  P5
-composes with a beacon band: the stream fold writes the interleaved
-round-robin stream into every band column, and the beacon splice /
-throwaway-column machinery operates downstream of it unchanged.
+paths, picked per tile:
+  * (w | 234, h even|1): the 2-half snake-composed dots
+    (_fuse_enc_const/_fuse_dec_const) -- one contraction per side.
+  * (w | 234, odd h > 1): the per-flip-class fuse (_cls_consts) -- the
+    same single contraction with the class axis (Ph = h/gcd(234/w, h))
+    on dot batch dims.
+  * (w not dividing 234, class period Pa = wh/gcd(wh, 234) <= 26): the
+    3-delta full fold (_win_consts) -- three class-batched dots per side
+    over prev/self/next block views (rows cross block boundaries).
+  * everything else (e.g. 25x25, Pa = 625): the id/rev mask
+    decomposition (straight extraction dot + row-reversal permutation
+    contractions + an elementwise row-parity select -- see the "general
+    P5 fuse" section).
+T3_P5_FUSE=0 forces the round-2 stream branch (extract stream planes,
+interleave on (3, L), fold back).  P5 composes with a beacon band: the
+stream fold writes the interleaved round-robin stream into every band
+column, and the beacon splice / throwaway-column machinery operates
+downstream of it unchanged.  Chip economics (docs/PERF.md round-3
+ledger): each full-size class dot is ~6 ms/frame MXU-bound, so the
+single-dot tiles hold 30-36 fps while w-not-dividing-234 tiles pay 3
+dots/side and land at 15-18 fps -- the round-4 lead is a sparse-aware
+boundary structure for the cross-block cells.
 """
 from __future__ import annotations
 
