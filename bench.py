@@ -321,8 +321,7 @@ def main():
     # per-op-instance floor (~40 us/op/step, docs/PERF.md), so it scales
     # with the lax.map STEP count, not the data -- one step over all 160
     # dirty superframes beats two steps of 128 with 96 padding slots.
-    r_sfb = int(os.environ.get("T3_REPAIR_SFB", "0"))
-    r_sfb = r_sfb if r_sfb > 0 else sf_batch
+    r_sfb = pipeline.env_repair_sfb(sf_batch)
     _l5, _d5, _e5, dec_fix_sf = pipeline._stream_fns(cfg, r_sfb,
                                                      rs_mode="paged",
                                                      ok_per_sf=True)

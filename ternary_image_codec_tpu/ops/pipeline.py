@@ -59,6 +59,19 @@ HEADER_SYMS = 52
 _PROFILE_KS = (24, 22, 20, 18)  # band_profile index 0..3 -> k
 
 
+def env_repair_sfb(default: int) -> int:
+    """Parse the T3_REPAIR_SFB repair-micro-batch override (shared by the
+    auto-strategy dispatcher and bench.py so a malformed value fails with
+    the same explanatory message at every consumer)."""
+    try:
+        r_sfb = int(os.environ.get("T3_REPAIR_SFB", "0"))
+    except ValueError as e:
+        raise ValueError(
+            "T3_REPAIR_SFB must be an integer (repair micro-batch "
+            f"size): {e}") from None
+    return r_sfb if r_sfb > 0 else default
+
+
 def _band_k(uep_idx: int) -> int:
     return _PROFILE_KS[uep_idx % 4]
 
@@ -1522,13 +1535,7 @@ def decode_stream_superframes(words, cfg: EncoderConfig, n_raw: int,
             # set to its own (smaller) batch so a handful of flagged
             # superframes compiles and runs a single small step instead
             # of a full sf_batch-wide one.
-            try:
-                r_sfb = int(os.environ.get("T3_REPAIR_SFB", "0"))
-            except ValueError as e:
-                raise ValueError(
-                    "T3_REPAIR_SFB must be an integer (repair micro-batch "
-                    f"size): {e}") from None
-            r_sfb = r_sfb if r_sfb > 0 else sf_batch
+            r_sfb = env_repair_sfb(sf_batch)
             nb_pad = _ceil_div(bad.size, r_sfb) * r_sfb
             bad_p = np.concatenate(
                 [bad, np.repeat(bad[-1:], nb_pad - bad.size)])

@@ -51,9 +51,12 @@ CFGS = [
     # fused path, h == 1 (the snake is the identity)
     EncoderConfig(profile=ProfileID.P5_RS26_22_2D, uep=uep_uniform(1),
                   tile=Tile2D(6, 1), superframe_words=512),
-    # h odd > 1 with w | 234: general fuse, block-aligned rev702 dot
+    # h odd > 1 with w | 234: per-flip-class fuse (_cls_consts)
     EncoderConfig(profile=ProfileID.P5_RS26_22_2D, uep=uep_luma_priority(),
                   tile=Tile2D(26, 5), superframe_words=300),
+    # w == 1 with odd h > 1: identity snake via the half-fuse path
+    EncoderConfig(profile=ProfileID.P5_RS26_22_2D, uep=uep_uniform(1),
+                  tile=Tile2D(1, 5), superframe_words=300),
     # general fuse, w not dividing 234: Pw = 5 and Pw = 25 window classes
     EncoderConfig(profile=ProfileID.P5_RS26_22_2D, uep=uep_luma_priority(),
                   tile=Tile2D(5, 5), superframe_words=512),
