@@ -240,7 +240,7 @@ def _fuse_ok(w: int, h: int) -> bool:
     odd; for even h that is just R odd, and R = (234/w)*n7 + t//w, so the
     within-block permutation is one of two constants chosen by n7 parity (a
     single constant when 234/w is even).  Every OTHER legal tile rides the
-    general id/rev mask decomposition (see _rev702/_rev_windows/_flip_mask)
+    general id/rev mask decomposition (see _rev_windows/_flip_mask)
     instead of the stream branch."""
     return w == 1 or (w >= 1 and 234 % w == 0 and (h == 1 or h % 2 == 0))
 
@@ -326,10 +326,10 @@ def _fuse_dec_const(w: int, h: int) -> np.ndarray:
 #
 # and the map is an involution (deinterleave = the same operation).  So the
 # fused path factors into a STRAIGHT extraction (tau = identity, the
-# chip-proven (27 row, 27 wloc) dot), a ROW-REVERSED copy (one 702-length
-# permutation contraction when w | 234 keeps rows inside blocks; three
-# shifted-window class-batched 702-contractions otherwise, since a row
-# reversal moves a symbol < w <= 26 positions = at most one block over),
+# chip-proven (27 row, 27 wloc) dot), a ROW-REVERSED copy (three
+# shifted-window class-batched 702-contractions -- a row reversal moves a
+# symbol < w <= 26 positions = at most one block over; the path only sees
+# 234 % w != 0 tiles, every w | 234 tile rides p5_fuse/p5_cls),
 # and an elementwise select under a small host-built row-parity mask --
 # for EVERY legal tile, where the 2-half composed path (_fuse_enc_const)
 # needs (w | 234, h even|1).  Decode applies the identical rev/mask to the
@@ -388,21 +388,6 @@ def _cls_consts(w: int, h: int):
         VCS[cls] = VCid[:, :, p]
         CUS[cls] = CUid[p]
     return Ph, VCS, CUS
-
-
-@functools.cache
-def _rev702(w: int) -> np.ndarray:
-    """(702, 702) int8 permutation: within-block row reversal (rows of
-    width w, block-aligned -- requires w | 234) on the flattened
-    (u, v, d, i) cell axes; Y_rev = Y_id . R.  Single 702-length
-    contraction = the chip-proven safe dot family (docs/PERF.md)."""
-    assert 234 % w == 0
-    R = np.zeros((702, 702), dtype=np.int8)
-    for m_out in range(234):
-        m_src = w * (m_out // w) + (w - 1) - m_out % w
-        for d in range(3):
-            R[_cell702(m_src, d), _cell702(m_out, d)] = 1
-    return R
 
 
 def _win_pa(w: int, h: int) -> int:
@@ -613,15 +598,14 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
         VCWj = jnp.asarray(VCW5)
         nblk7w = -(-nblk7 // Pa5) * Pa5   # class-dot pad (sliced back)
     if p5_gen:
+        # p5_gen implies 234 % w != 0 (every w | 234 tile is claimed by
+        # p5_fuse or p5_cls above), so the row reversal always rides the
+        # shifted-window class dots
         VCid_j = jnp.asarray(_fuse_id_consts()[0])         # (27, 27, 702)
         mk_j = jnp.asarray(_flip_mask(nblk7, cfg.tile.w, cfg.tile.h))
-        rev_win = 234 % cfg.tile.w != 0
-        if rev_win:
-            R3, Pw = _rev_windows(cfg.tile.w)
-            R3j = jnp.asarray(R3)
-            n7p = -(-nblk7 // Pw) * Pw
-        else:
-            R702j = jnp.asarray(_rev702(cfg.tile.w))
+        R3, Pw = _rev_windows(cfg.tile.w)
+        R3j = jnp.asarray(R3)
+        n7p = -(-nblk7 // Pw) * Pw
     # per-group Y dots: chip A/B 39.40 -> 40.83 fps alone, 42.37 combined
     # with parity-from-data (docs/PERF.md round-2 ledger); P5 computes Y
     # through the stream/fuse machinery instead
@@ -764,34 +748,28 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
                 # general id/rev mask decomposition (any legal tile): the
                 # straight extraction dot (the chip-proven (27 row,
                 # 27 wloc) V702 shape), a row-reversed copy via 702-length
-                # permutation contractions (_rev702 / _rev_windows), and
+                # permutation contractions (_rev_windows), and
                 # an elementwise select under the host-built row-parity
                 # mask (_flip_mask) -- see the module-section comment.
                 Yid = lax.dot_general(X3, VCid_j,
                                       (((0, 2), (0, 1)), ((), ())),
                                       preferred_element_type=jnp.int32) \
                     .astype(jnp.int8)                      # (n7, 702)
-                if rev_win:
-                    Zp = jnp.pad(Yid, ((1, 1 + n7p - nblk7), (0, 0)))
-                    # convert each delta dot to s8 BEFORE the sum: the
-                    # three windows have disjoint support (every reversed
-                    # cell comes from exactly one delta), and the s32 sum
-                    # chain materialized full 4-byte intermediates + adds
-                    # (5x5 trace 2026-08-20: ~25 ms/frame in these dots)
-                    Yr = sum(
-                        lax.dot_general(
-                            Zp[dlt:dlt + n7p].reshape(n7p // Pw, Pw, 702),
-                            R3j[dlt], (((2,), (1,)), ((1,), (0,))),
-                            preferred_element_type=jnp.int32)
-                        .astype(jnp.int8)
-                        for dlt in range(3))               # (Pw, n7p/Pw, 702)
-                    Yr = Yr.transpose(1, 0, 2) \
-                        .reshape(n7p, 702)[:nblk7]
-                else:
-                    Yr = lax.dot_general(Yid, R702j,
-                                         (((1,), (0,)), ((), ())),
-                                         preferred_element_type=jnp.int32) \
-                        .astype(jnp.int8)
+                Zp = jnp.pad(Yid, ((1, 1 + n7p - nblk7), (0, 0)))
+                # convert each delta dot to s8 BEFORE the sum: the
+                # three windows have disjoint support (every reversed
+                # cell comes from exactly one delta), and the s32 sum
+                # chain materialized full 4-byte intermediates + adds
+                # (5x5 trace 2026-08-20: ~25 ms/frame in these dots)
+                Yr = sum(
+                    lax.dot_general(
+                        Zp[dlt:dlt + n7p].reshape(n7p // Pw, Pw, 702),
+                        R3j[dlt], (((2,), (1,)), ((1,), (0,))),
+                        preferred_element_type=jnp.int32)
+                    .astype(jnp.int8)
+                    for dlt in range(3))               # (Pw, n7p/Pw, 702)
+                Yr = Yr.transpose(1, 0, 2) \
+                    .reshape(n7p, 702)[:nblk7]
                 Ym = jnp.where(mk_j, Yr.reshape(nblk7, 3, 3, 3, 26),
                                Yid.reshape(nblk7, 3, 3, 3, 26))
             py = [Ym[:B0_5]] if B0_5 else []
@@ -1132,15 +1110,13 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
         CUWj = jnp.asarray(CUW5)
         MBw = -(-MBa // Pa5) * Pa5        # class-dot pad (sliced back)
     if p5_gen:
+        # p5_gen implies 234 % w != 0 (see the encode-side note): the
+        # deinterleave reversal always rides the shifted-window class dots
         CUid_j = jnp.asarray(_fuse_id_consts()[1])         # (702, 9, 27)
         mkd_j = jnp.asarray(_flip_mask(MBa, hdr.tile.w, hdr.tile.h))
-        rev_win = 234 % hdr.tile.w != 0
-        if rev_win:
-            R3d, Pw = _rev_windows(hdr.tile.w)
-            R3d_j = jnp.asarray(R3d)
-            MBp = -(-MBa // Pw) * Pw
-        else:
-            R702d_j = jnp.asarray(_rev702(hdr.tile.w))
+        R3d, Pw = _rev_windows(hdr.tile.w)
+        R3d_j = jnp.asarray(R3d)
+        MBp = -(-MBa // Pw) * Pw
     # paged repair replicates v2's page geometry exactly (16-block pages
     # over the band's ceil-to-16 block count) so correction decisions --
     # including beyond-capacity overflow -- are bit-identical
@@ -1373,7 +1349,7 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
             # (B, u, v, d, c)-transposed data grid straight to RAW words
             # -- the deinterleave is folded into CUj (_fuse_dec_const)
             # for half-eligible tiles, or applied as the id/rev mask
-            # decomposition (_rev702/_rev_windows/_flip_mask -- the
+            # decomposition (_rev_windows/_flip_mask -- the
             # snake is an involution, so the SAME constants as encode)
             # before the straight CU_id rebuild dot; the final partial
             # tile / stream-end word blocks are rebuilt through the
@@ -1426,24 +1402,18 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
                                [:, :MBa * 27])
             else:
                 Gid = M5g.reshape(MBa, 702)
-                if rev_win:
-                    Gp = jnp.pad(Gid, ((1, 1 + MBp - MBa), (0, 0)))
-                    # s8 convert fused into each delta dot (see the encode
-                    # side): disjoint window support makes the s8 sum exact
-                    Gr = sum(
-                        lax.dot_general(
-                            Gp[dlt:dlt + MBp].reshape(MBp // Pw, Pw, 702),
-                            R3d_j[dlt], (((2,), (1,)), ((1,), (0,))),
-                            preferred_element_type=jnp.int32)
-                        .astype(jnp.int8)
-                        for dlt in range(3))       # (Pw, MBp/Pw, 702)
-                    Gr = Gr.transpose(1, 0, 2) \
-                        .reshape(MBp, 702)[:MBa]
-                else:
-                    Gr = lax.dot_general(Gid, R702d_j,
-                                         (((1,), (0,)), ((), ())),
-                                         preferred_element_type=jnp.int32) \
-                        .astype(jnp.int8)
+                Gp = jnp.pad(Gid, ((1, 1 + MBp - MBa), (0, 0)))
+                # s8 convert fused into each delta dot (see the encode
+                # side): disjoint window support makes the s8 sum exact
+                Gr = sum(
+                    lax.dot_general(
+                        Gp[dlt:dlt + MBp].reshape(MBp // Pw, Pw, 702),
+                        R3d_j[dlt], (((2,), (1,)), ((1,), (0,))),
+                        preferred_element_type=jnp.int32)
+                    .astype(jnp.int8)
+                    for dlt in range(3))       # (Pw, MBp/Pw, 702)
+                Gr = Gr.transpose(1, 0, 2) \
+                    .reshape(MBp, 702)[:MBa]
                 Gm = jnp.where(mkd_j, Gr.reshape(MBa, 3, 3, 3, 26),
                                Gid.reshape(MBa, 3, 3, 3, 26)) \
                     .reshape(MBa, 702)

@@ -59,6 +59,26 @@ def main():
     batches = [int(a) for a in sys.argv[1:]] or [4, 128]
     cpu = jax.devices("cpu")[0]
     bad = 0
+    # Public word-major RS API at SMALL batch: the k=22 B=1 decode chain
+    # is miscompile sighting #4 (docs/PERF.md; main_bare's RS unit runs
+    # exactly this program) -- sweep every (k, B) the self-tests and API
+    # users dispatch, against the numpy oracle
+    from ternary_image_codec_tpu.ops import rs
+    for k in (24, 22, 20, 18):
+        t = (26 - k) // 2
+        for B in (1, 2, 8):
+            r = np.random.default_rng(50 + k + B)
+            data = r.integers(0, 27, size=(B, k)).astype(np.int8)
+            recv = np.asarray(rs.np_encode(data, k))
+            for b in range(B):
+                for p in r.choice(26, size=t, replace=False):
+                    recv[b, p] = (recv[b, p] + 1 + r.integers(0, 26)) % 27
+            dec, ok = rs.decode_jit(jnp.asarray(recv), k)
+            good = (bool(np.all(np.asarray(ok)))
+                    and np.array_equal(np.asarray(dec)[:, :k], data))
+            bad += not good
+            print(f"{'OK' if good else 'FAIL'} rs_api k={k} B={B} "
+                  f"(word-major decode_jit, t={t} errors)")
     for sfb in batches:
         for name, cfg in cfgs:
             n = cfg.superframe_words * sfb * 2 + 77

@@ -57,6 +57,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--rep", type=int, default=4)
+    ap.add_argument("--scan", type=int, default=24)
     ap.add_argument("--legs", type=str, default="",
                     help="comma-separated subset to run")
     args = ap.parse_args()
@@ -250,29 +251,35 @@ def main():
         sel = set(args.legs.split(","))
         legs = [(n, f) for n, f in legs if n in sel or n == "base"]
 
+    # Scan-amplified timing: S serialized steps of the op inside ONE
+    # dispatch (the carry seeds each step's input, the full sum(y^2)
+    # reduce feeds the carry -- XLA can neither reorder, CSE, nor shrink
+    # the op, and S x op-cost rises far above the ~25 ms tunnel jitter).
     import jax
+    S = args.scan
+    x0 = xs[0]
     res = {}
     for name, fn in legs:
         def whole(x, fn=fn):
-            # REP distinct derived inputs: amplify the op over the floor
-            # (x + i stays int8; consume sums REP scalars)
-            tot = jnp.int32(0)
-            for i in range(REP):
-                tot = tot + jnp.sum(
-                    jax.vmap(fn)((x + jnp.int8(i)) % jnp.int8(3)))
-            return tot
+            def step(c, _):
+                xi = ((x + c.astype(jnp.int8)) % jnp.int8(3))
+                r = jax.vmap(fn)(xi)
+                c2 = c + jnp.int32(1) + (jnp.sum(r) & jnp.int32(1))
+                return c2, None
+            c, _ = jax.lax.scan(step, jnp.int32(0), None, length=S)
+            return c
         f = jax.jit(whole)
-        _ = float(f(xs[0]))
+        _ = float(f(x0))
         best = float("inf")
         for i in range(args.iters):
             t0 = time.perf_counter()
             _ = float(f(xs[i % len(xs)]))
             best = min(best, time.perf_counter() - t0)
         res[name] = best * 1e3
-        print(f"{name}: {res[name]:.2f} ms raw", flush=True)
+        print(f"{name}: {res[name]:.2f} ms raw ({S} steps)", flush=True)
     out = {}
     for k, v in res.items():
-        per_op = (v - res["base"]) / REP
+        per_op = (v - res["base"]) / S
         out[k] = {"ms_per_mb": round(per_op, 3),
                   "ms_per_frame": round(per_op * MBF, 2)}
     print(json.dumps({"raw_ms": {k: round(v, 2) for k, v in res.items()},
