@@ -56,22 +56,25 @@ paths, picked per tile:
   * (w | 234, odd h > 1): the per-flip-class fuse (_cls_consts) -- the
     same single contraction with the class axis (Ph = h/gcd(234/w, h))
     on dot batch dims.
-  * (w not dividing 234, class period Pa = wh/gcd(wh, 234) <= 26): the
-    3-delta full fold (_win_consts) -- three class-batched dots per side
-    over prev/self/next block views (rows cross block boundaries).
-  * everything else (e.g. 25x25, Pa = 625): the id/rev mask
-    decomposition (straight extraction dot + row-reversal permutation
-    contractions + an elementwise row-parity select -- see the "general
-    P5 fuse" section).
+  * (w not dividing 234, ANY h): the stream-rev path (_stream_rev) --
+    one class-free dense extraction to stream planes, three SMALL
+    class-batched (234, 234) reversal dots (period Pw = w/gcd(w, 234)
+    <= 26 for every legal tile), an elementwise row-parity select
+    (_stream_flip_mask), and the digit-plane fold dots, all in the
+    (n7, 3, 234) block layout.  Round 4: replaces the retired 3-delta
+    full fold (_win_consts, three FULL-SIZE class dots per side, the
+    17.6 fps wall) and the Y-domain id/rev decomposition (_rev_windows,
+    702x702 class dots) -- the key split is reversal SOURCES (period
+    Pw, folds into small dot constants) vs row PARITY (period up to
+    wh/gcd(wh, 234), stays an elementwise host mask).
 T3_P5_FUSE=0 forces the round-2 stream branch (extract stream planes,
 interleave on (3, L), fold back).  P5 composes with a beacon band: the
 stream fold writes the interleaved round-robin stream into every band
 column, and the beacon splice / throwaway-column machinery operates
-downstream of it unchanged.  Chip economics (docs/PERF.md round-3
-ledger): each full-size class dot is ~6 ms/frame MXU-bound, so the
-single-dot tiles hold 30-36 fps while w-not-dividing-234 tiles pay 3
-dots/side and land at 15-18 fps -- the round-4 lead is a sparse-aware
-boundary structure for the cross-block cells.
+downstream of it unchanged.  Chip economics (docs/PERF.md round-3/4
+ledgers): each full-size class dot was ~6 ms/frame MXU-bound, so the
+single-dot tiles hold 30-36 fps while the retired paths paid 3
+full-size dots per side (15-18 fps).
 """
 from __future__ import annotations
 
@@ -239,9 +242,9 @@ def _fuse_ok(w: int, h: int) -> bool:
     w == 1 is the no-flip identity).  Row R = s // w flips iff (R mod h) is
     odd; for even h that is just R odd, and R = (234/w)*n7 + t//w, so the
     within-block permutation is one of two constants chosen by n7 parity (a
-    single constant when 234/w is even).  Every OTHER legal tile rides the
-    general id/rev mask decomposition (see _rev_windows/_flip_mask)
-    instead of the stream branch."""
+    single constant when 234/w is even).  w | 234 with odd h > 1 rides
+    the per-flip-class fuse (_cls_consts); every 234 % w != 0 tile rides
+    the stream-rev path (_stream_rev/_stream_flip_mask)."""
     return w == 1 or (w >= 1 and 234 % w == 0 and (h == 1 or h % 2 == 0))
 
 
@@ -315,7 +318,7 @@ def _fuse_dec_const(w: int, h: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# general P5 fuse (any legal tile): id/rev mask decomposition
+# stream-rev P5 path (any 234 % w != 0 tile): rev/mask in the stream domain
 #
 # Over whole tiles the boustrophedon is "row reversal by mask": for stream
 # position t with global row R = t // w (rows of width w are globally
@@ -324,17 +327,16 @@ def _fuse_dec_const(w: int, h: int) -> np.ndarray:
 #     interleaved[t] = stream[t]                  if (R mod h) even
 #                    = stream[w*R + (w-1) - t%w]  if (R mod h) odd
 #
-# and the map is an involution (deinterleave = the same operation).  So the
-# fused path factors into a STRAIGHT extraction (tau = identity, the
-# chip-proven (27 row, 27 wloc) dot), a ROW-REVERSED copy (three
-# shifted-window class-batched 702-contractions -- a row reversal moves a
-# symbol < w <= 26 positions = at most one block over; the path only sees
-# 234 % w != 0 tiles, every w | 234 tile rides p5_fuse/p5_cls),
-# and an elementwise select under a small host-built row-parity mask --
-# for EVERY legal tile, where the 2-half composed path (_fuse_enc_const)
-# needs (w | 234, h even|1).  Decode applies the identical rev/mask to the
-# extracted data grid (same constants -- the snake is an involution), then
-# the straight word-rebuild contraction.
+# and the map is an involution (deinterleave = the same operation).  The
+# fused path factors into a class-free dense extraction to stream planes
+# (the chip-proven (27 row, 27 wloc) V702 dot), an UNCONDITIONAL row
+# reversal via three SMALL shifted-window class dots (_stream_rev:
+# (234, 234) constants at period Pw = w/gcd(w, 234) <= 26 -- a reversed
+# symbol moves < w <= 26 positions, at most one block over), an
+# elementwise select under the host row-parity mask (_stream_flip_mask,
+# the only structure whose period can reach wh/gcd(wh, 234)), then the
+# digit-plane fold/rebuild dots.  Decode applies the identical rev/mask
+# to the unfolded stream (same constants -- the snake is an involution).
 # ---------------------------------------------------------------------------
 
 
@@ -372,7 +374,7 @@ def _cls_consts(w: int, h: int):
     interleave costs ZERO extra contractions: encode is one dot with the
     class axis on dot batch dims (Ym[n7] = X[n7] . VCS[n7 mod Ph]), decode
     one class-batched single-702 contraction (the chip-proven
-    _rev_windows dot family) straight to RAW words."""
+    shifted-window dot family) straight to RAW words."""
     VCid, CUid = _fuse_id_consts()
     Ph = _cls_ph(w, h)
     VCS = np.zeros((Ph, 27, 27, 702), dtype=np.int8)
@@ -390,73 +392,33 @@ def _cls_consts(w: int, h: int):
     return Ph, VCS, CUS
 
 
-def _win_pa(w: int, h: int) -> int:
-    """Full-fold class period for w not dividing 234: the per-block snake
-    pattern (reversal targets AND row parity) depends on
-    (234*n7) mod (w*h), i.e. Pa = w*h / gcd(w*h, 234) classes."""
-    import math
-    A5 = w * h
-    return A5 // math.gcd(A5, 234)
-
-
-#: full-fold eligibility bound: (3, Pa, 27, 27, 702) int8 encode constants
-#: stay <= ~120 MB.  Tiles past it (e.g. 25x25, Pa = 625) ride the id/rev
-#: mask decomposition instead.
-_WIN_PA_MAX = 26
-
-
 @functools.cache
-def _win_consts(w: int, h: int):
-    """(Pa, VCS (3, Pa, 27, 27, 702) int8, CUS (3, Pa, 702, 9, 27) int8):
-    3-delta per-class FULL-FOLD constants for w not dividing 234 with
-    Pa <= _WIN_PA_MAX: extraction, cross-block row reversal AND the row
-    parity select all folded per class (cls = n7 mod Pa), so the whole
-    interleave is three class-batched dots over prev/self/next block
-    views -- encode the V702 (27, 27)-joint shape, decode the single-702
-    contraction, both with the class axis on dot batch dims (the
-    chip-proven families; see the 5x5 trace ledger row for why the
-    Yid + shifted-window + select decomposition was retired for these
-    tiles: full s32 intermediates and 4x the extraction FLOPs)."""
-    VCid, CUid = _fuse_id_consts()
-    Pa = _win_pa(w, h)
-    VCS = np.zeros((3, Pa, 27, 27, 702), dtype=np.int8)
-    CUS = np.zeros((3, Pa, 702, NUM_BANDS, 27), dtype=np.int8)
-    for cls in range(Pa):
-        base = 234 * (cls + Pa)          # representative block, safe nbrs
-        for m in range(234):
-            t = base + m
-            R, c = divmod(t, w)
-            src = w * R + (w - 1) - c if (R % h) % 2 == 1 else t
-            rel = src - base
-            delta = 0 if rel < 0 else (1 if rel < 234 else 2)
-            lsrc = rel + 234 - 234 * delta
-            for d in range(3):
-                # encode: Ym[n7] cell (m, d) = Y_id[n7 + delta - 1][lsrc]
-                VCS[delta, cls, :, :, _cell702(m, d)] = \
-                    VCid[:, :, _cell702(lsrc, d)]
-                # decode (the same involution, same window): stream cell
-                # t of block n7 reads grid cell lsrc of block n7+delta-1,
-                # so word-rebuild row cell(lsrc, d) of that neighbor
-                # carries CUid's row for cell (m, d)
-                CUS[delta, cls, _cell702(lsrc, d)] += \
-                    CUid[_cell702(m, d)]
-    return Pa, VCS, CUS
+def _stream_rev(w: int):
+    """(R (3 delta, Pw, 234, 234) int8, Pw): UNCONDITIONAL row reversal in
+    the STREAM domain for w not dividing 234.
 
+    Key factorization (round-4, replaces the 3-dense-dot full fold): the
+    snake = (row reversal) selected by (row parity).  The reversal's
+    SOURCE map depends on the block phase (234*n7) mod w -- period
+    Pw = w / gcd(w, 234) <= 26 for every legal tile -- while the parity
+    depends on (234*n7) mod (w*h) -- period Pa up to 625.  Folding BOTH
+    into dot constants (the retired _win_consts) forced Pa-period
+    full-size class dots (3 x ~6 ms/frame, the 17.6 fps wall); splitting
+    them keeps every class-batched constant at period Pw and size
+    (234, 234) (~0.16 MB/class), and the parity select becomes an
+    elementwise where under a host mask (_stream_flip_mask).
 
-@functools.cache
-def _rev_windows(w: int):
-    """(R (3 delta, Pw, 702, 702) int8, Pw): cross-block row reversal for
-    w not dividing 234.  The row phase at a block start, (234*n7) mod w,
-    cycles with period Pw = w / gcd(w, 234); with class = n7 mod Pw,
-
-        Y_rev[n7] = sum_delta  Y_id[n7 + delta - 1] . R[delta, class]
+        st_rev[n7] = sum_delta  st[n7 + delta - 1] . R[delta, n7 mod Pw]
 
     (delta 0/1/2 = previous/self/next block; a reversed symbol moves
-    < w <= 26 positions, so one block over at most).  Each dot is a single
-    702-length contraction with the class axis on dot BATCH dims."""
+    < w <= 26 positions, so one block over at most).  Each dot is a
+    single 234-length contraction with the class axis on dot BATCH dims
+    (the chip-proven shifted-window dot family); the digit axis
+    free-rides.
+    The map is an involution, so DECODE uses the same constants."""
     import math
     Pw = w // math.gcd(w, 234)
-    R = np.zeros((3, Pw, 702, 702), dtype=np.int8)
+    R = np.zeros((3, Pw, 234, 234), dtype=np.int8)
     for cls in range(Pw):
         base = 234 * cls
         for m_out in range(234):
@@ -464,21 +426,42 @@ def _rev_windows(w: int):
             src = w * (t // w) + (w - 1) - t % w
             rel = src - base
             delta = 0 if rel < 0 else (1 if rel < 234 else 2)
-            cell = rel + 234 - 234 * delta
-            for d in range(3):
-                R[delta, cls, _cell702(cell, d), _cell702(m_out, d)] = 1
+            R[delta, cls, rel + 234 - 234 * delta, m_out] = 1
     return R, Pw
 
 
 @functools.cache
-def _flip_mask(nblk: int, w: int, h: int) -> np.ndarray:
-    """(nblk, 3, 3, 1, 26) bool: cell (n7, u, v, :, i) sits on an odd
-    (reversed) snake row -- global row (234 n7 + 9 i + 3 u + v) // w,
-    odd iff (row mod h) is odd.  ~71 KB host constant at bench shapes."""
-    m = (9 * np.arange(26)[None, None, :] + 3 * np.arange(3)[:, None, None]
-         + np.arange(3)[None, :, None])                    # (3u, 3v, 26i)
-    t = 234 * np.arange(nblk)[:, None, None, None] + m[None]
-    return ((t // w) % h % 2 == 1)[:, :, :, None, :]
+def _stream_flip_mask(nblk: int, w: int, h: int) -> np.ndarray:
+    """(nblk, 1, 234) bool: stream cell (n7, :, m) sits on an odd
+    (reversed) snake row -- global row (234 n7 + m) // w, odd iff
+    (row mod h) is odd.  ~80 KB host constant at bench shapes; the digit
+    axis broadcasts."""
+    t = 234 * np.arange(nblk)[:, None] + np.arange(234)
+    return ((t // w) % h % 2 == 1)[:, None, :]
+
+
+def _rev_mask(st, Rj, Pw: int, n7p: int, mask):
+    """Stream-domain snake: 3 shifted-window class reversal dots + the
+    row-parity select, on (nblk, 3, 234) [or batched (B*nblk', ...) --
+    the caller merges axes so the class dots see full-M rows].
+
+    st (nblk, 3, 234); Rj (3, Pw, 234, 234); mask (nblk, 1, 234) bool.
+    Each delta dot is a single 234-length contraction with the class
+    axis on dot batch dims; disjoint window support makes the s8 sum
+    exact (every stream cell's reversed source lives in exactly one
+    delta window)."""
+    nblk = st.shape[0]
+    stp = jnp.pad(st, ((1, 1 + n7p - nblk), (0, 0), (0, 0)))
+    rev = sum(
+        lax.dot_general(
+            lax.slice_in_dim(stp, dlt, dlt + n7p, axis=0)
+            .reshape(n7p // Pw, Pw, 3, 234),
+            Rj[dlt], (((3,), (1,)), ((1,), (0,))),
+            preferred_element_type=jnp.int32)
+        .astype(jnp.int8)
+        for dlt in range(3))                   # (Pw, n7p/Pw, 3, 234)
+    rev = rev.transpose(1, 0, 2, 3).reshape(n7p, 3, 234)[:nblk]
+    return jnp.where(mask, rev, st)
 
 
 def _np_pat(seed) -> np.ndarray:
@@ -558,11 +541,9 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
     p5_fuse = fuse_on and _fuse_ok(cfg.tile.w, cfg.tile.h)
     # w | 234, odd h > 1: per-flip-class fused constants (_cls_consts)
     p5_cls = fuse_on and not p5_fuse and 234 % cfg.tile.w == 0
-    # w not dividing 234, small class period: 3-delta full fold
-    p5_win = (fuse_on and not p5_fuse and not p5_cls
-              and _win_pa(cfg.tile.w, cfg.tile.h) <= _WIN_PA_MAX)
-    p5_gen = (fuse_on and not p5_fuse and not p5_cls
-              and not p5_win)                     # id/rev mask decomp
+    # w not dividing 234: the stream-rev path (_stream_rev) -- class
+    # constants stay at period Pw <= 26 for EVERY such tile
+    p5_sr = fuse_on and not p5_fuse and not p5_cls
     if p5_fuse:
         nblk7 += nblk7 & 1          # paired 54-word blocks for the fused dot
     if p5:
@@ -575,7 +556,7 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
         L_out5 = int(min(NUM_BANDS * dlens5[b] + b for b in range(NUM_BANDS)))
         assert L_out5 <= 234 * nblk7
         V702 = jnp.asarray(_stream_const())
-    if p5_fuse or p5_cls or p5_win or p5_gen:
+    if p5_fuse or p5_cls or p5_sr:
         # snake-composed fast path geometry: blocks < B0_5 come straight
         # from the fused dot (whole tiles only); blocks [B0_5, WE_5) are
         # rebuilt from the stream segment [T0_5, L_out5) (the containing
@@ -593,19 +574,13 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
         Ph5, VCS5, _CUS5 = _cls_consts(cfg.tile.w, cfg.tile.h)
         VCSj = jnp.asarray(VCS5)
         nblk7c = -(-nblk7 // Ph5) * Ph5   # class-dot pad (sliced back)
-    if p5_win:
-        Pa5, VCW5, _CUW5 = _win_consts(cfg.tile.w, cfg.tile.h)
-        VCWj = jnp.asarray(VCW5)
-        nblk7w = -(-nblk7 // Pa5) * Pa5   # class-dot pad (sliced back)
-    if p5_gen:
-        # p5_gen implies 234 % w != 0 (every w | 234 tile is claimed by
-        # p5_fuse or p5_cls above), so the row reversal always rides the
-        # shifted-window class dots
-        VCid_j = jnp.asarray(_fuse_id_consts()[0])         # (27, 27, 702)
-        mk_j = jnp.asarray(_flip_mask(nblk7, cfg.tile.w, cfg.tile.h))
-        R3, Pw = _rev_windows(cfg.tile.w)
-        R3j = jnp.asarray(R3)
+    if p5_sr:
+        Rsr, Pw = _stream_rev(cfg.tile.w)
+        Rsr_j = jnp.asarray(Rsr)
         n7p = -(-nblk7 // Pw) * Pw
+        mks_j = jnp.asarray(
+            _stream_flip_mask(nblk7, cfg.tile.w, cfg.tile.h))
+        W2sr_j = jnp.asarray(_fold234_enc())            # (234, 3, 3, 26)
     # per-group Y dots: chip A/B 39.40 -> 40.83 fps alone, 42.37 combined
     # with parity-from-data (docs/PERF.md round-2 ledger); P5 computes Y
     # through the stream/fuse machinery instead
@@ -694,7 +669,7 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
             axis=0).astype(jnp.int8)                       # (27, 27*nblk7)
         X3 = pl_dig.reshape(27, nblk7, 27)
         parts = []
-        if p5_fuse or p5_cls or p5_win or p5_gen:
+        if p5_fuse or p5_cls or p5_sr:
             if p5_fuse:
                 # snake-composed P5: one contraction PER BLOCK-PAIR HALF
                 # from the word digit planes straight to the interleaved
@@ -726,52 +701,27 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
                 Ym = Ymc.astype(jnp.int8).transpose(1, 0, 2) \
                     .reshape(nblk7c, 702)[:nblk7] \
                     .reshape(nblk7, 3, 3, 3, 26)
-            elif p5_win:
-                # 3-delta full-fold (w not dividing 234, small Pa): the
-                # whole interleave is three class-batched (27, 27)-joint
-                # dots over prev/self/next block views (_win_consts);
-                # contributions are disjoint, so the s8 sum is exact.
-                Xw = jnp.pad(pl_dig,
-                             ((0, 0), (27, 27 * (nblk7w - nblk7 + 1))))
-                Ymw = sum(
-                    lax.dot_general(
-                        Xw[:, 27 * dlt:27 * (dlt + nblk7w)]
-                        .reshape(27, nblk7w // Pa5, Pa5, 27),
-                        VCWj[dlt], (((0, 3), (1, 2)), ((2,), (0,))),
-                        preferred_element_type=jnp.int32)
-                    .astype(jnp.int8)
-                    for dlt in range(3))          # (Pa, nY, 702)
-                Ym = Ymw.transpose(1, 0, 2) \
-                    .reshape(nblk7w, 702)[:nblk7] \
-                    .reshape(nblk7, 3, 3, 3, 26)
             else:
-                # general id/rev mask decomposition (any legal tile): the
-                # straight extraction dot (the chip-proven (27 row,
-                # 27 wloc) V702 shape), a row-reversed copy via 702-length
-                # permutation contractions (_rev_windows), and
-                # an elementwise select under the host-built row-parity
-                # mask (_flip_mask) -- see the module-section comment.
-                Yid = lax.dot_general(X3, VCid_j,
-                                      (((0, 2), (0, 1)), ((), ())),
-                                      preferred_element_type=jnp.int32) \
-                    .astype(jnp.int8)                      # (n7, 702)
-                Zp = jnp.pad(Yid, ((1, 1 + n7p - nblk7), (0, 0)))
-                # convert each delta dot to s8 BEFORE the sum: the
-                # three windows have disjoint support (every reversed
-                # cell comes from exactly one delta), and the s32 sum
-                # chain materialized full 4-byte intermediates + adds
-                # (5x5 trace 2026-08-20: ~25 ms/frame in these dots)
-                Yr = sum(
-                    lax.dot_general(
-                        Zp[dlt:dlt + n7p].reshape(n7p // Pw, Pw, 702),
-                        R3j[dlt], (((2,), (1,)), ((1,), (0,))),
-                        preferred_element_type=jnp.int32)
-                    .astype(jnp.int8)
-                    for dlt in range(3))               # (Pw, n7p/Pw, 702)
-                Yr = Yr.transpose(1, 0, 2) \
-                    .reshape(n7p, 702)[:nblk7]
-                Ym = jnp.where(mk_j, Yr.reshape(nblk7, 3, 3, 3, 26),
-                               Yid.reshape(nblk7, 3, 3, 3, 26))
+                # stream-rev path (any w not dividing 234): ONE dense
+                # class-free extraction to stream planes (the chip-proven
+                # (27 row, 27 wloc) V702 shape), three SMALL class-batched
+                # (234, 234) reversal dots over prev/self/next block views
+                # (_stream_rev, period Pw <= 26; disjoint support -> exact
+                # s8 sum), an elementwise row-parity select
+                # (_stream_flip_mask), then the 3 digit-plane fold dots --
+                # everything stays in the (n7, 3, 234) block layout (no
+                # (3, L) transpose, no minor-w lax.rev).
+                st = lax.dot_general(X3, V702,
+                                     (((0, 2), (0, 1)), ((), ())),
+                                     preferred_element_type=jnp.int32) \
+                    .astype(jnp.int8)                  # (n7, 3, 234)
+                sti = _rev_mask(st, Rsr_j, Pw, n7p, mks_j)
+                Ym = jnp.stack(
+                    [lax.dot_general(sti[:, d], W2sr_j,
+                                     (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.int32)
+                     .astype(jnp.int8) for d in range(3)],
+                    axis=3)                        # (n7, 3, 3, 3d, 26)
             py = [Ym[:B0_5]] if B0_5 else []
             if WE_5 > B0_5:
                 st = lax.dot_general(X3[:, W0_5:WE_5], V702,
@@ -1081,15 +1031,12 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
     p5_fuse = dfuse_on and _fuse_ok(hdr.tile.w, hdr.tile.h)
     # w | 234, odd h > 1: per-flip-class fused constants (_cls_consts)
     p5_cls = dfuse_on and not p5_fuse and 234 % hdr.tile.w == 0
-    # w not dividing 234, small class period: 3-delta full fold
-    p5_win = (dfuse_on and not p5_fuse and not p5_cls
-              and _win_pa(hdr.tile.w, hdr.tile.h) <= _WIN_PA_MAX)
-    p5_gen = (dfuse_on and not p5_fuse and not p5_cls
-              and not p5_win)                    # id/rev mask decomp
+    # w not dividing 234: the stream-rev path (mirror of encode)
+    p5_sr = dfuse_on and not p5_fuse and not p5_cls
     # the fused dot consumes block PAIRS: pad the grid to an even block
     # count (the extra block is zero stream tail, never read back)
     MBa = MB + (MB & 1) if p5_fuse else MB
-    if p5_fuse or p5_cls or p5_win or p5_gen:
+    if p5_fuse or p5_cls or p5_sr:
         A5 = hdr.tile.w * hdr.tile.h
         nfull5 = (L_out5 // A5) * A5
         B0_5 = nfull5 // 234
@@ -1105,18 +1052,16 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
         Ph5, _VCS5, CUS5 = _cls_consts(hdr.tile.w, hdr.tile.h)
         CUSj = jnp.asarray(CUS5)
         MBc = -(-MBa // Ph5) * Ph5        # class-dot pad (sliced back)
-    if p5_win:
-        Pa5, _VCW5, CUW5 = _win_consts(hdr.tile.w, hdr.tile.h)
-        CUWj = jnp.asarray(CUW5)
-        MBw = -(-MBa // Pa5) * Pa5        # class-dot pad (sliced back)
-    if p5_gen:
-        # p5_gen implies 234 % w != 0 (see the encode-side note): the
-        # deinterleave reversal always rides the shifted-window class dots
-        CUid_j = jnp.asarray(_fuse_id_consts()[1])         # (702, 9, 27)
-        mkd_j = jnp.asarray(_flip_mask(MBa, hdr.tile.w, hdr.tile.h))
-        R3d, Pw = _rev_windows(hdr.tile.w)
-        R3d_j = jnp.asarray(R3d)
+    if p5_sr:
+        # stream-rev decode (mirror of encode): unfold the data grid to
+        # stream planes with the single-plane F2j dot, apply the SAME
+        # reversal class dots + parity mask (the snake is an involution),
+        # rebuild RAW words with the U702 digit dots
+        Rsr_d, Pw = _stream_rev(hdr.tile.w)
+        Rsr_dj = jnp.asarray(Rsr_d)
         MBp = -(-MBa // Pw) * Pw
+        mksd_j = jnp.asarray(
+            _stream_flip_mask(MBa, hdr.tile.w, hdr.tile.h))
     # paged repair replicates v2's page geometry exactly (16-block pages
     # over the band's ceil-to-16 block count) so correction decisions --
     # including beyond-capacity overflow -- are bit-identical
@@ -1344,14 +1289,14 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
             else:
                 pf0 = jnp.zeros((3, MBa, 26), dtype=jnp.int8)
             M5 = M5.at[:, u0, v0].set(pf0)
-        if p5_fuse or p5_cls or p5_win or p5_gen:
+        if p5_fuse or p5_cls or p5_sr:
             # snake-composed P5: single-702-contraction dots from the
             # (B, u, v, d, c)-transposed data grid straight to RAW words
             # -- the deinterleave is folded into CUj (_fuse_dec_const)
-            # for half-eligible tiles, or applied as the id/rev mask
-            # decomposition (_rev_windows/_flip_mask -- the
-            # snake is an involution, so the SAME constants as encode)
-            # before the straight CU_id rebuild dot; the final partial
+            # for half-eligible tiles, or applied as the stream-domain
+            # rev/mask (_stream_rev/_stream_flip_mask -- the snake is an
+            # involution, so the SAME constants as encode) between the
+            # unfold and rebuild dots; the final partial
             # tile / stream-end word blocks are rebuilt through the
             # stream machinery on a tiny grid segment.  Joint (3, 3, 26)
             # contractions miscompile under vmap (_fuse_dec_const);
@@ -1369,7 +1314,7 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
                                .reshape(NUM_BANDS, MBa * 27))
             elif p5_cls:
                 # per-flip-class fuse: one class-batched single-702
-                # contraction (the chip-proven _rev_windows dot family)
+                # contraction (the chip-proven shifted-window dot family)
                 # straight to RAW words -- the deinterleave (the same
                 # involution) rides CUS (_cls_consts)
                 Gc = M5g.reshape(MBa, 702)
@@ -1383,45 +1328,26 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
                                .transpose(2, 1, 0, 3)
                                .reshape(NUM_BANDS, MBc * 27)
                                [:, :MBa * 27])
-            elif p5_win:
-                # 3-delta full-fold word rebuild: three class-batched
-                # single-702 contractions over prev/self/next grid views
-                # (_win_consts; disjoint support -> exact s8 sum)
-                Gw = jnp.pad(M5g.reshape(MBa, 702),
-                             ((1, MBw - MBa + 1), (0, 0)))
-                wmw = sum(
-                    lax.dot_general(
-                        Gw[dlt:dlt + MBw].reshape(MBw // Pa5, Pa5, 702),
-                        CUWj[dlt], (((2,), (1,)), ((1,), (0,))),
-                        preferred_element_type=jnp.int32)
-                    .astype(jnp.int8)
-                    for dlt in range(3))          # (Pa, MBw/Pa, 9, 27)
-                main_T_full = (lambda: wmw
-                               .transpose(2, 1, 0, 3)
-                               .reshape(NUM_BANDS, MBw * 27)
-                               [:, :MBa * 27])
             else:
-                Gid = M5g.reshape(MBa, 702)
-                Gp = jnp.pad(Gid, ((1, 1 + MBp - MBa), (0, 0)))
-                # s8 convert fused into each delta dot (see the encode
-                # side): disjoint window support makes the s8 sum exact
-                Gr = sum(
-                    lax.dot_general(
-                        Gp[dlt:dlt + MBp].reshape(MBp // Pw, Pw, 702),
-                        R3d_j[dlt], (((2,), (1,)), ((1,), (0,))),
-                        preferred_element_type=jnp.int32)
-                    .astype(jnp.int8)
-                    for dlt in range(3))       # (Pw, MBp/Pw, 702)
-                Gr = Gr.transpose(1, 0, 2) \
-                    .reshape(MBp, 702)[:MBa]
-                Gm = jnp.where(mkd_j, Gr.reshape(MBa, 3, 3, 3, 26),
-                               Gid.reshape(MBa, 3, 3, 3, 26)) \
-                    .reshape(MBa, 702)
-                wm = lax.dot_general(Gm, CUid_j,
-                                     (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.int32)
-                main_T_full = (lambda: wm.astype(jnp.int8)
-                               .transpose(1, 0, 2)
+                # stream-rev decode (mirror of the encode branch): unfold
+                # to stream planes (single-234 F2j contraction, d free),
+                # the SAME small reversal class dots + parity mask (the
+                # snake is an involution), then the U702 rebuild dots --
+                # all in the (B, 3, 234) block-leading layout (the block
+                # axis stays leading so a batched caller can merge it
+                # with the micro-batch axis for full-M class dots).
+                st = lax.dot_general(
+                    M5g.transpose(0, 3, 1, 2, 4).reshape(MBa, 3, 234),
+                    F2j, (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32) \
+                    .astype(jnp.int8)              # (MBa, 3, 234)
+                sd = _rev_mask(st, Rsr_dj, Pw, MBp, mksd_j)
+                wm = sum(
+                    lax.dot_general(sd[:, d], U702[d],
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+                    for d in range(3)).astype(jnp.int8)    # (MBa, 9, 27)
+                main_T_full = (lambda: wm.transpose(1, 0, 2)
                                .reshape(NUM_BANDS, MBa * 27))
             outs_w = []
             nb_main = min(B0_5, N7w)
