@@ -392,6 +392,55 @@ def _cls_consts(w: int, h: int):
     return Ph, VCS, CUS
 
 
+def _win_pa(w: int, h: int) -> int:
+    """Full-fold class period for w not dividing 234: the per-block snake
+    pattern (reversal targets AND row parity) depends on
+    (234*n7) mod (w*h), i.e. Pa = w*h / gcd(w*h, 234) classes."""
+    import math
+    A5 = w * h
+    return A5 // math.gcd(A5, 234)
+
+
+#: decode full-fold eligibility bound: (3, Pa, 702, 9, 27) int8 decode
+#: constants stay <= ~13 MB and the class dots stay near the measured
+#: ~2.8 ms/frame class-dot floor.  Tiles past it (e.g. 25x25, Pa = 625)
+#: ride the stream-rev decode instead.
+_WIN_PA_MAX = 26
+
+
+@functools.cache
+def _win_dec_consts(w: int, h: int):
+    """(Pa, CUS (3, Pa, 702, 9, 27) int8): 3-delta per-class FULL-FOLD
+    decode constants for w not dividing 234 with Pa <= _WIN_PA_MAX:
+    deinterleave (reversal AND parity select, period Pa = wh/gcd(wh,234))
+    composed into the word-rebuild contraction, so decode's whole
+    interleave is three class-batched single-702 dots STRAIGHT from the
+    corrected data grid to RAW words -- measured at the class-dot floor
+    (~8.4 ms/frame for all three, round-4 probe ledger), which no
+    unfold->rev->rebuild decomposition can beat.  The ENCODE analog
+    (full-size (Pa, 729, 702) class dots) was retired: its 3 dense class
+    dots measured ~19.8 ms/frame vs the stream-rev encode's ~16."""
+    _VCid, CUid = _fuse_id_consts()
+    Pa = _win_pa(w, h)
+    CUS = np.zeros((3, Pa, 702, NUM_BANDS, 27), dtype=np.int8)
+    for cls in range(Pa):
+        base = 234 * (cls + Pa)          # representative block, safe nbrs
+        for m in range(234):
+            t = base + m
+            R, c = divmod(t, w)
+            src = w * R + (w - 1) - c if (R % h) % 2 == 1 else t
+            rel = src - base
+            delta = 0 if rel < 0 else (1 if rel < 234 else 2)
+            lsrc = rel + 234 - 234 * delta
+            for d in range(3):
+                # stream cell t of block n7 reads grid cell lsrc of
+                # block n7+delta-1, so word-rebuild row cell(lsrc, d) of
+                # that neighbor carries CUid's row for cell (m, d)
+                CUS[delta, cls, _cell702(lsrc, d)] += \
+                    CUid[_cell702(m, d)]
+    return Pa, CUS
+
+
 @functools.cache
 def _stream_rev(w: int):
     """(R (3 delta, Pw, 234, 234) int8, Pw): UNCONDITIONAL row reversal in
@@ -1031,12 +1080,16 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
     p5_fuse = dfuse_on and _fuse_ok(hdr.tile.w, hdr.tile.h)
     # w | 234, odd h > 1: per-flip-class fused constants (_cls_consts)
     p5_cls = dfuse_on and not p5_fuse and 234 % hdr.tile.w == 0
-    # w not dividing 234: the stream-rev path (mirror of encode)
-    p5_sr = dfuse_on and not p5_fuse and not p5_cls
+    # w not dividing 234, small class period: decode rides the full-fold
+    # CUW class dots (measured at the class-dot floor; _win_dec_consts)
+    p5_win = (dfuse_on and not p5_fuse and not p5_cls
+              and _win_pa(hdr.tile.w, hdr.tile.h) <= _WIN_PA_MAX)
+    # w not dividing 234, large Pa: the stream-rev decode
+    p5_sr = dfuse_on and not p5_fuse and not p5_cls and not p5_win
     # the fused dot consumes block PAIRS: pad the grid to an even block
     # count (the extra block is zero stream tail, never read back)
     MBa = MB + (MB & 1) if p5_fuse else MB
-    if p5_fuse or p5_cls or p5_sr:
+    if p5_fuse or p5_cls or p5_win or p5_sr:
         A5 = hdr.tile.w * hdr.tile.h
         nfull5 = (L_out5 // A5) * A5
         B0_5 = nfull5 // 234
@@ -1052,6 +1105,10 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
         Ph5, _VCS5, CUS5 = _cls_consts(hdr.tile.w, hdr.tile.h)
         CUSj = jnp.asarray(CUS5)
         MBc = -(-MBa // Ph5) * Ph5        # class-dot pad (sliced back)
+    if p5_win:
+        Pa5, CUW5 = _win_dec_consts(hdr.tile.w, hdr.tile.h)
+        CUWj = jnp.asarray(CUW5)
+        MBw = -(-MBa // Pa5) * Pa5        # class-dot pad (sliced back)
     if p5_sr:
         # stream-rev decode (mirror of encode): unfold the data grid to
         # stream planes with the single-plane F2j dot, apply the SAME
@@ -1289,7 +1346,7 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
             else:
                 pf0 = jnp.zeros((3, MBa, 26), dtype=jnp.int8)
             M5 = M5.at[:, u0, v0].set(pf0)
-        if p5_fuse or p5_cls or p5_sr:
+        if p5_fuse or p5_cls or p5_win or p5_sr:
             # snake-composed P5: single-702-contraction dots from the
             # (B, u, v, d, c)-transposed data grid straight to RAW words
             # -- the deinterleave is folded into CUj (_fuse_dec_const)
@@ -1327,6 +1384,26 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
                 main_T_full = (lambda: wmc.astype(jnp.int8)
                                .transpose(2, 1, 0, 3)
                                .reshape(NUM_BANDS, MBc * 27)
+                               [:, :MBa * 27])
+            elif p5_win:
+                # 3-delta full-fold word rebuild: three class-batched
+                # single-702 contractions over prev/self/next grid views
+                # (_win_dec_consts; disjoint support -> exact s8 sum) --
+                # measured AT the class-dot floor, kept over the
+                # stream-rev decode for Pa <= _WIN_PA_MAX
+                Gw = jnp.pad(M5g.reshape(MBa, 702),
+                             ((1, MBw - MBa + 1), (0, 0)))
+                wmw = sum(
+                    lax.dot_general(
+                        lax.slice_in_dim(Gw, dlt, dlt + MBw, axis=0)
+                        .reshape(MBw // Pa5, Pa5, 702),
+                        CUWj[dlt], (((2,), (1,)), ((1,), (0,))),
+                        preferred_element_type=jnp.int32)
+                    .astype(jnp.int8)
+                    for dlt in range(3))          # (Pa, MBw/Pa, 9, 27)
+                main_T_full = (lambda: wmw
+                               .transpose(2, 1, 0, 3)
+                               .reshape(NUM_BANDS, MBw * 27)
                                [:, :MBa * 27])
             else:
                 # stream-rev decode (mirror of the encode branch): unfold

@@ -325,11 +325,26 @@ def decode_dig(recv_dig, k: int):
     batched execution returns per-block status flags, SURVEY.md section 5
     "failure detection").
 
+    ROUTED THROUGH THE PLANE-MAJOR CHAIN (XLA:TPU miscompile sighting #4,
+    docs/PERF.md): the fused word-major syndromes+correct program returns
+    ok=False for EVERY t=2 pattern at exactly (k=22, B=1) on the axon
+    backend -- deterministic, 10/10 random codewords, while k=24/20/18,
+    B>=2, CPU, and the SPLIT stages (syndromes and correct as separate
+    jits) are all correct, so the bug is a property of the fused program,
+    not of either stage.  The pm chain (block axis on the lane dim) is
+    chip-verified clean across the full (k, B) matrix
+    (tools/chip_rs_smallbatch.py) AND is the performant layout (the
+    (B, 26, 3) word-major layout pads its 3-lane minor 16x -- see the
+    "pm codec" section below); the boundary transposes are noise at API
+    batch sizes.
+
     For large mostly-clean batches prefer decode_dig_paged, which runs the
     correction chain only on dirty pages of blocks.
     """
     recv_dig = jnp.asarray(recv_dig)
-    return _correct_dig(recv_dig, syndromes_dig(recv_dig, k), k)
+    pm = recv_dig.transpose(2, 1, 0)                       # (3, 26, B)
+    data_pm, ok = _correct_pm(pm, syndromes_pm(pm, k), k)
+    return data_pm.transpose(2, 1, 0), ok
 
 
 def decode_dig_paged(recv_dig, k: int, page: int = 256,
