@@ -99,11 +99,12 @@ def main():
         return
 
     if args.tile == "all":
-        # half-fuse (26x26), rev702 block-aligned (13x7, 26x5), window
-        # classes Pw=5/25 (5x5, 25x25), and the flagship beacon combo
+        # half-fuse (26x26), per-flip-class (13x7, 26x5), stream-rev
+        # encode + win/stream-rev decode (5x5 Pw=5/Pa=25, 7x3 Pw=7/Pa=7,
+        # 25x25 Pw=25/Pa=625, 8x4 even-h Pw=4/Pa=16), and beacon combos
         matrix = [((26, 26), False), ((13, 7), False), ((26, 5), False),
-                  ((5, 5), False), ((25, 25), False), ((26, 26), True),
-                  ((5, 5), True)]
+                  ((5, 5), False), ((7, 3), False), ((25, 25), False),
+                  ((8, 4), False), ((26, 26), True), ((5, 5), True)]
     else:
         w_, h_ = map(int, args.tile.split("x"))
         matrix = [((w_, h_), args.beacon)]
