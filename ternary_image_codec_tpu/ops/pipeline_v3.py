@@ -496,9 +496,14 @@ def _rev_mask(st, Rj, Pw: int, n7p: int, mask):
 
     st (nblk, 3, 234); Rj (3, Pw, 234, 234); mask (nblk, 1, 234) bool.
     Each delta dot is a single 234-length contraction with the class
-    axis on dot batch dims; disjoint window support makes the s8 sum
-    exact (every stream cell's reversed source lives in exactly one
-    delta window)."""
+    axis on dot batch dims.  The deltas are summed in s32 with ONE s8
+    convert at the end: converting each delta dot to s8 BEFORE the sum
+    MISCOMPILES under vmap at Pw=5/25 (wrong rev cells at batch 128,
+    bit-exact on CPU; Pw=4/7 unaffected) -- chip bisect
+    tools/chip_sr_bisect.py, round-4: the same slices with an s32 sum,
+    or jnp.roll views, or per-class unbatched dots are all clean, so
+    the bug is the fused s8-convert-add chain, not the dot shape
+    (docs/PERF.md miscompile section, fifth sighting)."""
     nblk = st.shape[0]
     stp = jnp.pad(st, ((1, 1 + n7p - nblk), (0, 0), (0, 0)))
     rev = sum(
@@ -507,9 +512,9 @@ def _rev_mask(st, Rj, Pw: int, n7p: int, mask):
             .reshape(n7p // Pw, Pw, 3, 234),
             Rj[dlt], (((3,), (1,)), ((1,), (0,))),
             preferred_element_type=jnp.int32)
-        .astype(jnp.int8)
-        for dlt in range(3))                   # (Pw, n7p/Pw, 3, 234)
-    rev = rev.transpose(1, 0, 2, 3).reshape(n7p, 3, 234)[:nblk]
+        for dlt in range(3))                   # (Pw, n7p/Pw, 3, 234) s32
+    rev = rev.astype(jnp.int8).transpose(1, 0, 2, 3) \
+        .reshape(n7p, 3, 234)[:nblk]
     return jnp.where(mask, rev, st)
 
 
