@@ -441,6 +441,56 @@ def _win_dec_consts(w: int, h: int):
     return Pa, CUS
 
 
+#: combined-neighbor window width for the 2-dot reversal: covers the
+#: <= w-1 boundary-crossing cells per side for every legal tile (w <= 26)
+_NBR_W = 32
+
+#: class-period bound for the (234, 234) dot form: the 234-length
+#: class-batched reversal dots MISCOMPILE under vmap at Pw = 25 in EVERY
+#: batched variant tried (s8 chain, s32 sum, roll views -- only
+#: unbatched per-class dots are clean; tools/chip_sr_bisect.py --pw 25),
+#: while the 702-length class-batched family is chip-proven at Pw = 25
+#: (the round-3 _rev_windows dots).  Pw <= 7 rides the cheap 234 form
+#: (chip-verified at Pw = 4, 5, 7); larger periods ride the 702
+#: block-diagonal form.
+_REV234_PW_MAX = 7
+
+
+@functools.cache
+def _stream_rev2(w: int):
+    """(Rself, Rnbr, Pw, form): the 2-dot form of _stream_rev -- a
+    reversed symbol moves < w <= 26 positions, so the prev-block sources
+    all lie in its last _NBR_W cells and the next-block sources in its
+    first _NBR_W; one narrow class dot over the CONCATENATED 64-cell
+    neighbor window replaces two full-size delta dots.
+
+    form="234": Rself (Pw, 234, 234), Rnbr (Pw, 2W, 234) -- the digit
+    axis free-rides.  form="702" (Pw > _REV234_PW_MAX): the same
+    constants block-diagonally expanded over the 3 digit planes --
+    Rself (Pw, 702, 702), Rnbr (Pw, 6W, 702) -- so the contraction is
+    the chip-proven single-702 class-dot family (3x the MACs, on
+    zeros)."""
+    R, Pw = _stream_rev(w)
+    Rn = np.zeros((Pw, 2 * _NBR_W, 234), dtype=np.int8)
+    Rn[:, :_NBR_W] = R[0][:, 234 - _NBR_W:]
+    Rn[:, _NBR_W:] = R[2][:, :_NBR_W]
+    assert not R[0][:, :234 - _NBR_W].any()
+    assert not R[2][:, _NBR_W:].any()
+    if Pw <= _REV234_PW_MAX:
+        # 234-form keeps the THREE-delta structure: the 2-dot
+        # (self + neighbor-window) program, chip-clean at Pw = 4 and 7,
+        # returns wrong cells at Pw = 5 (370k bad wire cells at batch
+        # 128) -- one uniform chip-verified program beats a per-Pw zoo
+        return R, None, Pw, "234"
+    S7 = np.zeros((Pw, 702, 702), dtype=np.int8)
+    N7_ = np.zeros((Pw, 6 * _NBR_W, 702), dtype=np.int8)
+    for d in range(3):
+        S7[:, 234 * d:234 * (d + 1), 234 * d:234 * (d + 1)] = R[1]
+        N7_[:, 2 * _NBR_W * d:2 * _NBR_W * (d + 1),
+            234 * d:234 * (d + 1)] = Rn
+    return S7, N7_, Pw, "702"
+
+
 @functools.cache
 def _stream_rev(w: int):
     """(R (3 delta, Pw, 234, 234) int8, Pw): UNCONDITIONAL row reversal in
@@ -490,31 +540,58 @@ def _stream_flip_mask(nblk: int, w: int, h: int) -> np.ndarray:
 
 
 def _rev_mask(st, Rj, Pw: int, n7p: int, mask):
-    """Stream-domain snake: 3 shifted-window class reversal dots + the
-    row-parity select, on (nblk, 3, 234) [or batched (B*nblk', ...) --
-    the caller merges axes so the class dots see full-M rows].
+    """Stream-domain snake: class reversal dots + the row-parity select,
+    on (nblk, 3, 234), in the per-form CHIP-VERIFIED program shape.
 
-    st (nblk, 3, 234); Rj (3, Pw, 234, 234); mask (nblk, 1, 234) bool.
-    Each delta dot is a single 234-length contraction with the class
-    axis on dot batch dims.  The deltas are summed in s32 with ONE s8
-    convert at the end: converting each delta dot to s8 BEFORE the sum
-    MISCOMPILES under vmap at Pw=5/25 (wrong rev cells at batch 128,
-    bit-exact on CPU; Pw=4/7 unaffected) -- chip bisect
-    tools/chip_sr_bisect.py, round-4: the same slices with an s32 sum,
-    or jnp.roll views, or per-class unbatched dots are all clean, so
-    the bug is the fused s8-convert-add chain, not the dot shape
-    (docs/PERF.md miscompile section, fifth sighting)."""
+    st (nblk, 3, 234); Rj = (Rself, Rnbr, Pw, form) from _stream_rev2;
+    mask (nblk, 1, 234) bool.  Two forms, each frozen to the exact
+    program that survived the round-4 chip sweeps (this backend
+    miscompiles close variants -- docs/PERF.md sightings #5a/b):
+
+    * "234" (Pw <= 7): THREE delta dots (prev/self/next block views,
+      single 234-length contraction, class axis on dot batch dims, the
+      digit axis free-riding), summed in s32 with ONE s8 convert.
+      Converting each dot to s8 before the sum returns wrong cells at
+      Pw=5 (sighting #5a); the 2-dot self+neighbor-window variant is
+      clean at Pw=4/7 but wrong at Pw=5.  Verified: Pw=4, 5, 7.
+    * "702" (Pw > 7): SELF + narrow neighbor-window dots with the digit
+      planes folded block-diagonally into single-702 contractions
+      (3x the MACs, on zeros) -- at Pw=25 EVERY 234-length class-batched
+      variant (s8, s32, roll views) returns wrong cells and only
+      unbatched per-class dots or the 702 family are clean (sighting
+      #5b).  Verified: Pw=25."""
+    Rselfj, Rnbrj, _pw, form = Rj
     nblk = st.shape[0]
     stp = jnp.pad(st, ((1, 1 + n7p - nblk), (0, 0), (0, 0)))
-    rev = sum(
-        lax.dot_general(
-            lax.slice_in_dim(stp, dlt, dlt + n7p, axis=0)
-            .reshape(n7p // Pw, Pw, 3, 234),
-            Rj[dlt], (((3,), (1,)), ((1,), (0,))),
+    if form == "234":
+        # three delta dots, s32 sum (the chip-verified 234-form program)
+        rev = sum(
+            lax.dot_general(
+                lax.slice_in_dim(stp, dlt, dlt + n7p, axis=0)
+                .reshape(n7p // Pw, Pw, 3, 234),
+                Rselfj[dlt], (((3,), (1,)), ((1,), (0,))),
+                preferred_element_type=jnp.int32)
+            for dlt in range(3))               # (Pw, n7p/Pw, 3, 234) s32
+        rev = rev.astype(jnp.int8).transpose(1, 0, 2, 3) \
+            .reshape(n7p, 3, 234)[:nblk]
+    else:
+        self_v = lax.slice_in_dim(stp, 1, 1 + n7p, axis=0)
+        nbr = jnp.concatenate(
+            [lax.slice_in_dim(stp, 0, n7p, axis=0)[:, :, 234 - _NBR_W:],
+             lax.slice_in_dim(stp, 2, 2 + n7p, axis=0)[:, :, :_NBR_W]],
+            axis=2)                            # (n7p, 3, 2W)
+        # 702 block-diagonal form (the digit planes fold into one
+        # chip-proven single-702 contraction; see _stream_rev2)
+        self_r = lax.dot_general(
+            self_v.reshape(n7p // Pw, Pw, 702),
+            Rselfj, (((2,), (1,)), ((1,), (0,))),
             preferred_element_type=jnp.int32)
-        for dlt in range(3))                   # (Pw, n7p/Pw, 3, 234) s32
-    rev = rev.astype(jnp.int8).transpose(1, 0, 2, 3) \
-        .reshape(n7p, 3, 234)[:nblk]
+        nbr_r = lax.dot_general(
+            nbr.reshape(n7p // Pw, Pw, 6 * _NBR_W),
+            Rnbrj, (((2,), (1,)), ((1,), (0,))),
+            preferred_element_type=jnp.int32)
+        rev = (self_r + nbr_r).astype(jnp.int8) \
+            .transpose(1, 0, 2).reshape(n7p, 3, 234)[:nblk]
     return jnp.where(mask, rev, st)
 
 
@@ -629,8 +706,9 @@ def encode_fn_v3(layout, raw_wire: str = "words"):
         VCSj = jnp.asarray(VCS5)
         nblk7c = -(-nblk7 // Ph5) * Ph5   # class-dot pad (sliced back)
     if p5_sr:
-        Rsr, Pw = _stream_rev(cfg.tile.w)
-        Rsr_j = jnp.asarray(Rsr)
+        Rs5, Rn5, Pw, form5 = _stream_rev2(cfg.tile.w)
+        Rsr_j = (jnp.asarray(Rs5),
+                 None if Rn5 is None else jnp.asarray(Rn5), Pw, form5)
         n7p = -(-nblk7 // Pw) * Pw
         mks_j = jnp.asarray(
             _stream_flip_mask(nblk7, cfg.tile.w, cfg.tile.h))
@@ -1119,8 +1197,9 @@ def check_decode_fn_v3(layout, rs_mode: str = "check"):
         # stream planes with the single-plane F2j dot, apply the SAME
         # reversal class dots + parity mask (the snake is an involution),
         # rebuild RAW words with the U702 digit dots
-        Rsr_d, Pw = _stream_rev(hdr.tile.w)
-        Rsr_dj = jnp.asarray(Rsr_d)
+        Rs5d, Rn5d, Pw, form5d = _stream_rev2(hdr.tile.w)
+        Rsr_dj = (jnp.asarray(Rs5d),
+                  None if Rn5d is None else jnp.asarray(Rn5d), Pw, form5d)
         MBp = -(-MBa // Pw) * Pw
         mksd_j = jnp.asarray(
             _stream_flip_mask(MBa, hdr.tile.w, hdr.tile.h))
