@@ -57,9 +57,14 @@ CFGS = [
     # w == 1 with odd h > 1: identity snake via the half-fuse path
     EncoderConfig(profile=ProfileID.P5_RS26_22_2D, uep=uep_uniform(1),
                   tile=Tile2D(1, 5), superframe_words=300),
-    # general fuse, w not dividing 234: Pw = 5 and Pw = 25 window classes
+    # stream-rev, w not dividing 234: Pw = 5 (234-form) and Pw = 25
+    # (702-block-diag form) reversal dots
     EncoderConfig(profile=ProfileID.P5_RS26_22_2D, uep=uep_luma_priority(),
                   tile=Tile2D(5, 5), superframe_words=512),
+    # 702-form encode (Pw = 11 > 7) + full-fold CUW decode (Pa = 11 <= 26)
+    # -- the one form x decode combination 5x5/25x25 don't cover
+    EncoderConfig(profile=ProfileID.P5_RS26_22_2D, uep=uep_uniform(1),
+                  tile=Tile2D(11, 2), superframe_words=300),
     EncoderConfig(profile=ProfileID.P5_RS26_22_2D, uep=uep_uniform(1),
                   tile=Tile2D(25, 25), superframe_words=300),
     # general fuse, w | 234 with odd h (13x7 -- a VERDICT round-3 exemplar)
