@@ -478,13 +478,39 @@ def main():
             wd.block_until_ready()
             if bi == 0:                          # compile + verify repair
                 outs_d, ok_d, _chkd = dec_two_phase(wd)
+                if not (ok_d or n_over):
+                    # diagnose WHICH superframes fail repair and what
+                    # damage they carry before failing the phase (the
+                    # 20%-dirty + header-damage chip failure, round 4)
+                    _o, oks0, _c = dec_frames_check(wd)
+                    badd = np.argwhere(~np.asarray(oks0))
+                    _fix, okf0 = dec_fix_sf(wd[jnp.asarray(badd[:, 0]),
+                                               jnp.asarray(badd[:, 1])])
+                    nf = np.argwhere(~np.asarray(okf0)).reshape(-1)
+                    fi_n, si_n = (np.asarray(fi), np.asarray(si))
+                    for ix in nf[:8]:
+                        fbad, sbad = badd[ix]
+                        ev = np.argwhere((fi_n == fbad)
+                                         & (si_n == sbad)).reshape(-1)
+                        print(f"repair-fail frame={fbad} sf={sbad} "
+                              f"events(band,pos,dlt)="
+                              f"{[(int(bi_[e]), int(pi_[e]), int(dlt[e])) for e in ev]}",
+                              file=__import__("sys").stderr)
+                    print(f"repair-fail total {nf.size}/{badd.shape[0]} "
+                          f"flagged sf", file=__import__("sys").stderr)
                 # beyond-capacity superframes (overcap > 0) correctly
                 # flag ok=False; the correctable-only default must repair
                 assert ok_d or n_over, "dirty repair failed"
                 if not n_over:
-                    got = np.asarray(outs_d[0, :, :, :sf])[0].T[:16]
-                    exp = np.asarray((chunks_np + 1) % 27)[0]
-                    exp = (exp.T if raw_wire == "planes" else exp)[:16]
+                    # FULL-frame exactness (the 16-word spot check missed
+                    # per-superframe wrongness entirely): the +i variants
+                    # drive band 8 past 8, whose trit 26 is not
+                    # transported -- expect (v % 9) there (docs/PERF.md)
+                    got = np.asarray(outs_d[0, :, :, :sf])
+                    exp = np.asarray((chunks_np + 1) % 27)
+                    exp = (exp if raw_wire == "planes"
+                           else exp.transpose(0, 2, 1)).copy()
+                    exp[:, 8] %= 9
                     assert np.array_equal(got, exp), "dirty repair wrong"
                 del outs_d
             t_clean = min(t_clean, _timed(w))

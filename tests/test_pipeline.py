@@ -349,6 +349,39 @@ class TestSuperframeStreaming:
         out, ok = pipeline.decode_stream_superframes(corr, cfg, n_raw)
         assert not (bool(ok) and np.array_equal(np.asarray(out), raw))
 
+    def test_stream_mass_header_corruption(self):
+        """EVERY superframe's header damaged (1-2 symbols, <= t=4), at a
+        stream size whose header blocks span > 8 pages (2n > 512): all
+        must repair in paged mode.  Round-4 regression: the header
+        validator's paged RS decode inherited the body-model capacity
+        cap max(8, npage/8) and false-flagged correctable headers once
+        more than 8 header pages were dirty -- exactly the two-phase
+        repair dispatch's normal load under a header-damage channel
+        (bench 20%-dirty failure; docs/PERF.md round-4 ledger)."""
+        from ternary_image_codec_tpu.config import (EncoderConfig,
+                                                    ProfileID, uep_uniform)
+        cfg = EncoderConfig(profile=ProfileID.P1_RS26_24, uep=uep_uniform(0),
+                            superframe_words=8)
+        r = np.random.default_rng(77)
+        n_sf = 300                     # 600 header blocks -> 10 pages > 8
+        n_raw = n_sf * 8
+        t = r.integers(0, 3, size=(n_raw, 27)).astype(np.int8)
+        t[:, 26] = 0
+        raw = (t.reshape(n_raw, 9, 3) * np.array([1, 3, 9])).sum(-1) \
+            .astype(np.int8)
+        prof = np.asarray(pipeline.encode_stream_superframes(raw, cfg))
+        corr = prof.copy()
+        for s in range(n_sf):
+            rows = r.choice(9, 2, replace=False)
+            for row in rows:
+                w = r.integers(0, pipeline.HEADER_WORDS)
+                corr[s, w, row] = (corr[s, w, row]
+                                   + 1 + r.integers(0, 26)) % 27
+        out, ok = pipeline.decode_stream_superframes(corr, cfg, n_raw,
+                                                     strategy="paged")
+        assert bool(ok), "mass header damage must stay correctable"
+        assert np.array_equal(np.asarray(out), raw)
+
     def test_stream_header_corruption_semantics(self):
         """Per-superframe header validation (reference decodes every
         superframe header, old/.../v6_min.hpp:918-937): <= t=4 header
