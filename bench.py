@@ -324,7 +324,8 @@ def main():
     r_sfb = pipeline.env_repair_sfb(sf_batch)
     _l5, _d5, _e5, dec_fix_sf = pipeline._stream_fns(cfg, r_sfb,
                                                      rs_mode="paged",
-                                                     ok_per_sf=True)
+                                                     ok_per_sf=True,
+                                                     hdr_all_pages=True)
 
     @jax.jit
     def enc_frames(cs):
@@ -443,9 +444,14 @@ def main():
     n_hdr = int(round(hdr_frac * len(fi_sf)))
     if n_hdr:
         sel = np.arange(len(fi_sf))[::-1][:n_hdr]
-        hb = np.stack([r2.choice(9, 2, replace=False)
-                       for _ in range(n_hdr)])           # distinct rows
-        hp = r2.integers(0, pipeline.HEADER_WORDS, size=(n_hdr, 2))
+        # 2 distinct cells from the 52 USED header symbols (the 9x6 slab's
+        # word-major cells 52/53 are padding invisible to the RS(26,18)
+        # blocks -- sampling the full 54 would silently weaken some events
+        # to 1 or 0 effective errors); cell c -> word c//9, row c%9
+        hc = np.stack([r2.choice(52, 2, replace=False)
+                       for _ in range(n_hdr)])
+        hb = hc % 9                                      # wire rows
+        hp = hc // 9                                     # header words
         fi = np.concatenate([fi, np.repeat(fi_sf[sel], 2)])
         si = np.concatenate([si, np.repeat(si_sf[sel], 2)])
         bi_ = np.concatenate([bi_, hb.reshape(-1)])

@@ -1225,7 +1225,8 @@ def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _header_validator(layout, sf_hdr, rs_mode: str):
+def _header_validator(layout, sf_hdr, rs_mode: str,
+                      hdr_all_pages: bool = False):
     """Shared superframe-header validation for the stream decoders.
 
     Returns validate(hdrs (n, 9, 6) wire slabs) -> (n,) bool.  check mode:
@@ -1234,7 +1235,17 @@ def _header_validator(layout, sf_hdr, rs_mode: str):
     damage flags the superframe; the auto strategy's paged repair then
     RS-decodes it).  Other modes: on-device RS(26,18) decode of both
     header blocks + corrected-payload match (the reference decodes every
-    superframe header, old/.../v6_min.hpp:918-937)."""
+    superframe header, old/.../v6_min.hpp:918-937).
+
+    hdr_all_pages=True sizes the paged header chain to cover EVERY header
+    page: required for the two-phase phase-2 repair dispatch (batch = 100%
+    flagged superframes; >8 dirty pages per dispatch is the NORM under a
+    header-damage channel -- round-4 bug c6d00bc) and for the public
+    non-check decode strategies, whose contract is reference parity (every
+    superframe header decodes unconditionally, old/.../v6_min.hpp:918-937;
+    pinned by test_stream_mass_header_corruption).  False keeps
+    decode_paged_pm_bk's sparse-damage default cap, so private
+    mostly-clean stream pairs don't widen the static correction gather."""
     if rs_mode == "check":
         hdr_wire_T = np.asarray(layout.header_words.T, dtype=np.int8)
 
@@ -1260,21 +1271,19 @@ def _header_validator(layout, sf_hdr, rs_mode: str):
         dig = jnp.stack([blocks - 3.0 * q1, q1 - 3.0 * q2,
                          q2 - 3.0 * jnp.floor(q2 * (1.0 / 3.0))],
                         axis=0).astype(jnp.int8)  # (3, 2n, 26)
-        # paged: intact headers skip the r=8 chain almost entirely.
-        # Capacity = EVERY page (max_dirty_pages=npage): the default
-        # max(8, npage/8) cap is sized for sparse body damage, but this
-        # validator also runs inside the two-phase REPAIR dispatch whose
-        # batch contains only flagged superframes -- under the header-
-        # damage channel model, >8 dirty header pages per dispatch is
-        # the NORM there, and the cap made correctable headers flag
-        # ok=False (round-4 20%-dirty bench failure: 404 damaged
-        # headers -> 13 pages, 5 beyond cap -> 218 false flags, failures
-        # starting exactly at the first uncovered block index).  Intact
-        # pages still skip the chain; the cost is bounded by the actual
-        # damage, which is the slow path's job to absorb.
+        # paged: intact PAGES skip the r=8 chain (the dirty-page gather
+        # selects them out), but the chain's static gathered width is
+        # C*page, so capacity C is a compile-time cost knob.  Repair
+        # dispatch (100% flagged batch): C = npage, every page covered
+        # (the sparse cap false-flagged correctable headers at >8 dirty
+        # pages -- round-4 20%-dirty failure: 404 damaged headers ->
+        # 13 pages, 5 beyond cap -> 218 false flags).  Direct paged
+        # streams: the sparse default max(8, npage/8) keeps the static
+        # chain narrow on mostly-clean input.
         npage_h = -(-dig.shape[1] // 64)
-        hdr_dig, ok_h = rs.decode_paged_pm_bk(dig, 18, page=64,
-                                              max_dirty_pages=npage_h)
+        hdr_dig, ok_h = rs.decode_paged_pm_bk(
+            dig, 18, page=64,
+            max_dirty_pages=npage_h if hdr_all_pages else None)
         exp = jnp.broadcast_to(jnp.asarray(exp_pm)[:, :, None, :],
                                (3, 2, n, 18)).reshape(3, 2 * n, 18)
         return (ok_h & jnp.all(hdr_dig == exp, axis=(0, 2))) \
@@ -1284,13 +1293,18 @@ def _header_validator(layout, sf_hdr, rs_mode: str):
 
 @functools.cache
 def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged",
-                ok_per_sf: bool = False, raw_wire: str = "words"):
+                ok_per_sf: bool = False, raw_wire: str = "words",
+                hdr_all_pages: bool = False):
     """Build the jitted stream encode/decode pair for one config.
 
     ok_per_sf=False (default): dec_stream returns (raw, ok_scalar).
     ok_per_sf=True: dec_stream returns (raw, ok (n_sf,)) -- per-superframe
     flags (body blocks AND header match), so the two-phase auto decode can
     re-dispatch the corrector on ONLY the dirty superframes.
+
+    hdr_all_pages=True: widen the header validator's page capacity to
+    cover every page (see _header_validator) -- set by the two-phase
+    phase-2 repair dispatch and the public non-check strategies.
 
     raw_wire="planes": enc_stream takes (n_sf, 9, sf_words) RAW planes --
     callers that can stage the input plane-major skip the 14x-padded
@@ -1342,7 +1356,8 @@ def _stream_fns(cfg: EncoderConfig, sf_batch: int, rs_mode: str = "paged",
     # require the corrected payload to match the caller's config --
     # catching header corruption beyond t=4 errors AND config mismatch,
     # instead of silently trusting the caller (_header_validator)
-    validate_hdrs = _header_validator(layout, sf_hdr, rs_mode)
+    validate_hdrs = _header_validator(layout, sf_hdr, rs_mode,
+                                      hdr_all_pages=hdr_all_pages)
 
     @jax.jit
     def dec_stream(words):  # (n_sf, 9, total) -> ((n_sf, 9, out_words), ok)
@@ -1487,7 +1502,7 @@ def _repair_merge_fn(cfg: EncoderConfig, sf_batch: int):
     all in ONE dispatch (each eager step would pay the ~25 ms tunnel
     dispatch floor separately, docs/PERF.md)."""
     _l, _d, _enc, dec_fix = _stream_fns(cfg, sf_batch, rs_mode="paged",
-                                        ok_per_sf=True)
+                                        ok_per_sf=True, hdr_all_pages=True)
 
     @jax.jit
     def repair_merge(raw_T, words_T, bad):
@@ -1555,7 +1570,9 @@ def decode_stream_superframes(words, cfg: EncoderConfig, n_raw: int,
             raw_T, ok = _repair_merge_fn(cfg, r_sfb)(
                 raw_T, words_T, jnp.asarray(bad_p))
     else:
-        _l, _d, _enc, dec = _stream_fns(cfg, sf_batch, rs_mode=strategy)
+        _l, _d, _enc, dec = _stream_fns(
+            cfg, sf_batch, rs_mode=strategy,
+            hdr_all_pages=strategy != "check")
         raw_T, ok = dec(words_T)
     raw = raw_T[:, :, :cfg.superframe_words].swapaxes(1, 2) \
         .reshape(-1, NUM_BANDS)[:n_raw]

@@ -108,7 +108,8 @@ def main():
     def run_fix(slab, sfb):
         _l2, _d2, _e2, fix = pipeline._stream_fns(cfg, sfb,
                                                   rs_mode="paged",
-                                                  ok_per_sf=True)
+                                                  ok_per_sf=True,
+                                                  hdr_all_pages=True)
         return fix(jnp.asarray(slab))
 
     with jax.default_device(cpu):
