@@ -42,6 +42,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
+import warnings
 from typing import Optional, Tuple
 
 import numpy as np
@@ -57,6 +58,12 @@ from . import interleave, rs, scramble, subword
 HEADER_WORDS = 6
 HEADER_SYMS = 52
 _PROFILE_KS = (24, 22, 20, 18)  # band_profile index 0..3 -> k
+
+
+class PerformanceWarning(UserWarning):
+    """A configuration is legal but measured far off this backend's
+    throughput frontier (e.g. P5 tiles whose width does not divide 234,
+    docs/PERF.md round-4 frontier analysis)."""
 
 
 def env_repair_sfb(default: int) -> int:
@@ -189,6 +196,27 @@ def build_encode_layout(cfg: EncoderConfig, n_raw_words: int,
         # (docs/DIVERGENCES.md).
         raise ValueError(
             "P5 tile dims must be 1..26 (one header symbol each)")
+    if _is_p5(cfg.profile, cfg.tile) and 234 % cfg.tile.w != 0:
+        # Measured perf cliff, not a correctness issue: when w does not
+        # divide 234 (the stream symbols per wire block), tile rows cross
+        # block boundaries and the boustrophedon cannot fold into the
+        # single fused interleave dot -- every such tile is capped at
+        # ~19-24 fps on-chip vs 30-36 fps for w | 234 tiles (~0.55x;
+        # docs/PERF.md round-4 frontier analysis: the ~2.5-3 ms/frame
+        # class-dot floor x >= 2 dots x 2 sides is architectural on this
+        # backend).  Burst-spreading quality depends on tile AREA and
+        # aspect, not on w | 234 (a wire-format accident), so an
+        # equal-area divisor tile serves wherever the requested one would.
+        divs = (2, 3, 6, 9, 13, 18, 26)      # divisors of 234 that are <= 26
+        near = sorted(divs, key=lambda d: abs(d - cfg.tile.w))[:2]
+        alts = ", ".join(f"{d}x{cfg.tile.h}" for d in sorted(near))
+        warnings.warn(
+            f"P5 tile {cfg.tile.w}x{cfg.tile.h}: width does not divide 234, "
+            f"so the fused interleave path does not apply -- measured "
+            f"~0.55x throughput (~19-24 fps vs 30-36 on-chip, docs/PERF.md). "
+            f"For >= 30 fps pick a w|234 tile of similar area/aspect, "
+            f"e.g. {alts}.",
+            PerformanceWarning, stacklevel=2)
     if any(bp % 4 == 3 for bp in cfg.uep.band_profile):
         # The header stores one trit per band (band_profile % 3,
         # old/.../v6_min.hpp:219-228), so per-band P4 (index 3) cannot be

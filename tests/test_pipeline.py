@@ -123,6 +123,26 @@ class TestP5PlaneMajor:
     def _cfg(self, tile=Tile2D(8, 4)):
         return EncoderConfig(profile=ProfileID.P5_RS26_22_2D, tile=tile)
 
+    def test_w234_perf_warning(self):
+        """w ∤ 234 P5 tiles are a measured ~0.55x perf cliff (docs/PERF.md
+        round-4 frontier analysis); the layout builder must surface it
+        where the user trips it, naming w|234 alternatives.  Divisor
+        widths must stay silent."""
+        import warnings as _w
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            pipeline.build_encode_layout(self._cfg(Tile2D(5, 5)), 40)
+        msgs = [str(r.message) for r in rec
+                if issubclass(r.category, pipeline.PerformanceWarning)]
+        assert len(msgs) == 1 and "234" in msgs[0]
+        assert "6x5" in msgs[0] and "3x5" in msgs[0]   # nearby divisors
+        for tile in (Tile2D(13, 7), Tile2D(26, 26), Tile2D(1, 5)):
+            with _w.catch_warnings(record=True) as rec:
+                _w.simplefilter("always")
+                pipeline.build_encode_layout(self._cfg(tile), 40)
+            assert not [r for r in rec if issubclass(
+                r.category, pipeline.PerformanceWarning)], tile
+
     def test_pm_cm_wire_identical(self):
         cfg = self._cfg()
         for n_raw in (7, 40, 101):  # partial + whole tiles
