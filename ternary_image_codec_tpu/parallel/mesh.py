@@ -184,7 +184,8 @@ def make_mesh_pp(n_devices: int | None = None,
 
 
 def roundtrip_pipeline_pp(raw_frames, cfg: EncoderConfig, mesh: Mesh,
-                          stage_axis: str = "stage", data_axis: str = "data"):
+                          stage_axis: str = "stage", data_axis: str = "data",
+                          wire_damage=None):
     """Two-stage pipeline parallelism over the codec stages (GPipe-style).
 
     Stage 0 of the mesh encodes microbatch t while stage 1 decodes
@@ -206,6 +207,15 @@ def roundtrip_pipeline_pp(raw_frames, cfg: EncoderConfig, mesh: Mesh,
     db must divide by the data-axis size.  Returns (decoded
     (T, db, n_out, 9), ok (T, db)) with n_out >= n_raw (RS-block
     padding; slice [:n_raw] for payload).
+
+    wire_damage: optional (T, db, total_words, 9) int8 GF(27) deltas
+    added (mod 27) to the in-flight wire words ON THE STAGE LINK --
+    i.e. after stage 0's encode, before the ppermute handoff -- modeling
+    channel damage between the ingest chips and the verify/decode chips.
+    The decode stage runs the page-compacted RS corrector (rs_mode
+    "paged", pipeline._decode_body_fn's default), so <= t symbol errors
+    per RS block must be REPAIRED under PP (ok stays True, output
+    exact); beyond-capacity damage clears exactly that frame's ok.
     """
     from jax import shard_map
     from ..config import SuperframeHeader
@@ -225,7 +235,7 @@ def roundtrip_pipeline_pp(raw_frames, cfg: EncoderConfig, mesh: Mesh,
     dec_one = pipeline._decode_body_fn(dec_layout)
     total, n_out = enc_layout.total_words, dec_layout.n_out_words
 
-    def stage_prog(frames):            # local: (T+1, dbl, n_raw, 9)
+    def stage_prog(frames, dmg):       # local: (T+1, dbl, n_raw|total, 9)
         sid = lax.axis_index(stage_axis)
         # constants and per-stage branch outputs must agree on
         # varying-manual-axes (shard_map's cond type check): everything in
@@ -234,7 +244,8 @@ def roundtrip_pipeline_pp(raw_frames, cfg: EncoderConfig, mesh: Mesh,
         zero_wire = vary(jnp.zeros((dbl, total, 9), jnp.int8),
                          (stage_axis, data_axis))
 
-        def body(inflight, f_t):
+        def body(inflight, xs):
+            f_t, d_t = xs
             # encode this step's microbatch (stage 0 only -- the cond is
             # a real HLO conditional, stage 1 skips the encode compute)
             wire = lax.cond(
@@ -242,6 +253,10 @@ def roundtrip_pipeline_pp(raw_frames, cfg: EncoderConfig, mesh: Mesh,
                 # enc output inherits f_t's data-varying; add stage
                 lambda x: vary(jax.vmap(enc_one)(x), (stage_axis,)),
                 lambda x: zero_wire, f_t)
+            # channel damage on the stage link (only the 0 -> 1 edge
+            # carries data, so applying it on both stages is a no-op for
+            # stage 1's discarded zero wire)
+            wire = ((wire + vary(d_t, (stage_axis,))) % 27).astype(jnp.int8)
             # stage handoff over ICI; stage 0 receives zeros (no edge in)
             recv = lax.ppermute(wire, stage_axis, [(0, 1)])
             # decode LAST step's handoff (stage 1 only)
@@ -257,7 +272,7 @@ def roundtrip_pipeline_pp(raw_frames, cfg: EncoderConfig, mesh: Mesh,
                 lambda w: zero_out, inflight)
             return recv, (out, ok)
 
-        _, (outs, oks) = lax.scan(body, zero_wire, frames)
+        _, (outs, oks) = lax.scan(body, zero_wire, (frames, dmg))
         # stage 1 decodes microbatch t at step t+1; drop the warmup step
         # and deliver stage 1's results to both stages (psum: stage 0
         # contributed zeros, so the sum IS stage 1's value)
@@ -268,14 +283,21 @@ def roundtrip_pipeline_pp(raw_frames, cfg: EncoderConfig, mesh: Mesh,
 
     spec_in = PSpec(None, data_axis, None, None)
     run = jax.jit(shard_map(
-        stage_prog, mesh=mesh, in_specs=spec_in,
+        stage_prog, mesh=mesh, in_specs=(spec_in, spec_in),
         out_specs=(PSpec(None, data_axis, None, None),
                    PSpec(None, data_axis))))
     # one drain step so the last microbatch's decode lands
     frames = jnp.concatenate(
         [jnp.asarray(raw_frames),
          jnp.zeros((1, db, n_raw, 9), jnp.int8)], axis=0)
-    return run(frames)
+    if wire_damage is None:
+        dmg = jnp.zeros((T + 1, db, total, 9), jnp.int8)
+    else:
+        dmg = jnp.asarray(wire_damage, dtype=jnp.int8)
+        assert dmg.shape == (T, db, total, 9), dmg.shape
+        dmg = jnp.concatenate(
+            [dmg, jnp.zeros((1, db, total, 9), jnp.int8)], axis=0)
+    return run(frames, dmg)
 
 
 def encode_stream_sharded(raw_words, cfg: EncoderConfig, mesh: Mesh):
