@@ -205,6 +205,12 @@ class Membership:
     hash_prefix_hex: str = ""
     local_radius_m: int = 0
 
+    def __post_init__(self):
+        # reference field is uint32_t (security_policy.hpp:186) -- values
+        # past 2^32 TRUNCATE there, which changes overlap-candidate
+        # filtering; match the wrap (found by the fuzz differential)
+        self.local_radius_m &= 0xFFFFFFFF
+
 
 @dataclasses.dataclass
 class Allow:
@@ -219,6 +225,9 @@ class Coexist:
     radius_max_m: int = 0
     max_class: ProxClass = ProxClass.Near
 
+    def __post_init__(self):
+        self.radius_max_m &= 0xFFFFFFFF   # uint32_t, hpp:204
+
 
 @dataclasses.dataclass
 class Redirect:
@@ -226,6 +235,10 @@ class Redirect:
     to_domain_prefix: str = ""
     ttl_min: int = 1
     ttl_max: int = 3
+
+    def __post_init__(self):
+        self.ttl_min &= 0xFF              # uint8_t, hpp:220
+        self.ttl_max &= 0xFF
 
 
 @dataclasses.dataclass
@@ -250,6 +263,13 @@ class Policy:
     enable_overlap_redirect: bool = True
     rotor_tick: int = 0
     prepared_cache: List[Prep] = dataclasses.field(default_factory=list)
+
+    def __post_init__(self):
+        # uint8_t fields in the reference struct (hpp:211, 225-226)
+        self.max_depth &= 0xFF
+        self.ttl_global_max &= 0xFF
+        self.hops_global_max &= 0xFF
+        self.rotor_tick &= MASK64         # uint64_t rotor.tick
     # callbacks
     overlap_prepare_suggest: Optional[Callable[[str, str, BuildTag], Optional[str]]] = None
     overlap_second_accept: Optional[Callable[[str, str, BuildTag], bool]] = None
