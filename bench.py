@@ -19,6 +19,8 @@ import numpy as np
 
 def main():
     from ternary_image_codec_tpu.runtime import tracing
+    from ternary_image_codec_tpu.runtime.native import warm_heap
+    warm_heap()   # cold page faults cost ~1 s/GB on this VM (docs/PERF.md)
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

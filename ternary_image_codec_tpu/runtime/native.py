@@ -75,6 +75,34 @@ def available() -> bool:
     return _load() is not None
 
 
+_heap_warmed = False
+
+
+def warm_heap() -> bool:
+    """Keep big-allocation pages warm across frames (glibc mallopt).
+
+    On this VM a COLD page fault costs ~40 us (~1 s/GB): any loop that
+    allocates a fresh ~86 MB buffer per frame (D2H copies, tobytes())
+    runs ~10x slower than the same loop over warm pages, because glibc
+    mmap()s allocations > 128 KB and returns them to the OS on free.
+    mallopt(M_MMAP_MAX=0) + mallopt(M_TRIM_THRESHOLD=max) route large
+    mallocs through the sbrk heap and never trim it, so after the first
+    frame the pages stay resident (measured 0.96 -> 10-16 GB/s on the
+    alloc+fill microbench; docs/PERF.md round-5 machine constants).
+    """
+    global _heap_warmed
+    if _heap_warmed:
+        return True
+    try:
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-4, 0)            # M_MMAP_MAX
+        libc.mallopt(-1, 2**31 - 1)    # M_TRIM_THRESHOLD
+        _heap_warmed = True
+    except OSError:
+        return False
+    return True
+
+
 def crc12_0x80F(data: np.ndarray) -> int:
     lib = _load()
     b = np.ascontiguousarray(np.asarray(data, dtype=np.uint8).reshape(-1))

@@ -66,17 +66,27 @@ size_t t3n_pack_base243(const uint8_t* trits, size_t n, uint8_t* out,
 }
 
 // ---- inverse: emit exactly total_trits trits from base-243 bytes ----------
+// 256 x 5 digit LUT instead of the div/mod loop (the loop measured
+// ~0.04 Gtrit/s on this box; whole bytes now copy 5 digits at once)
 int t3n_unpack_base243(const uint8_t* data, size_t len, size_t total_trits,
                        uint8_t* out) {
-    size_t emitted = 0;
-    for (size_t i = 0; i < len && emitted < total_trits; ++i) {
-        uint32_t v = data[i];
-        for (int k = 0; k < 5 && emitted < total_trits; ++k) {
-            out[emitted++] = (uint8_t)(v % 3);
-            v /= 3;
+    static uint8_t D[256][5];
+    static bool init = false;
+    if (!init) {
+        for (int b = 0; b < 256; ++b) {
+            uint32_t v = (uint32_t)b;
+            for (int k = 0; k < 5; ++k) { D[b][k] = (uint8_t)(v % 3); v /= 3; }
         }
+        init = true;
     }
-    return emitted == total_trits ? 0 : -1;
+    size_t full = total_trits / 5;
+    if (len < (total_trits + 4) / 5) return -1;
+    for (size_t i = 0; i < full; ++i)
+        memcpy(out + 5 * i, D[data[i]], 5);
+    size_t emitted = 5 * full;
+    if (emitted < total_trits)
+        memcpy(out + emitted, D[data[full]], total_trits - emitted);
+    return 0;
 }
 
 // ---- word13 (1 px/word uint32) pack/unpack, host-side bulk path -----------

@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--probe", action="store_true")
     args = ap.parse_args()
 
+    from ternary_image_codec_tpu.runtime.native import warm_heap
+    warm_heap()     # cold page faults cost ~1 s/GB on this VM (PERF.md)
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
