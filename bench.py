@@ -299,11 +299,12 @@ def main():
         exp_e = sum(int(direct_sum(eb[0][1][i * n_sf:(i + 1) * n_sf]))
                     for i in range(iters))
         assert (exp_e - int(chk_e)) % (1 << 32) == 0, "e2e checksum"
-        t0 = time.perf_counter()
-        rets = [step_e2e(*b) for b in eb[1:]]
-        for ok_e, chk_e in rets:
-            _ = float(chk_e)
-        e2e_dt = (time.perf_counter() - t0) / (iters * len(rets))
+        with tracing.device_trace(os.environ.get("T3_TRACE_E2E_DIR")):
+            t0 = time.perf_counter()
+            rets = [step_e2e(*b) for b in eb[1:]]
+            for ok_e, chk_e in rets:
+                _ = float(chk_e)
+            e2e_dt = (time.perf_counter() - t0) / (iters * len(rets))
         assert all(bool(o) for o, _c in rets)
         e2e_fps = round(1.0 / e2e_dt, 3)
         del eb, rgb_chunks
