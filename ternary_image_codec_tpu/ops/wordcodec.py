@@ -142,6 +142,25 @@ def _f32_floordiv(num, den: float):
     return c
 
 
+def _floordiv3_small(v):
+    """floor(v / 3) for integer f32 v in [0, 2186] -- the uncorrected
+    reciprocal multiply is EXACT on this domain (exhaustively verified
+    for dens 3/9/27 up to 2186, docs/PERF.md round-5), so the +-1
+    correction's 4 extra ops per divmod are dead weight in the
+    ingest/egress digit chains (13 resp. 27 divmods per pixel pair)."""
+    return jnp.floor(v * jnp.float32(1.0 / 3.0))
+
+
+def _dig_nocorr(v, n):
+    """n base-3 digits of integer f32 v in [0, 2186], LSD first."""
+    out = []
+    for _ in range(n):
+        q3 = _floordiv3_small(v)
+        out.append(v - 3.0 * q3)
+        v = q3
+    return out
+
+
 def _lround_ratio_f32(n, p: int, q: int):
     """Exact f32 lround(n * p / q) (round half away from zero) for integer
     f32 n with |2*p*n + q| well inside f32's exact-integer range."""
@@ -161,22 +180,19 @@ def ingest9_planes(rgb):
     y = 0.299 * r + 0.587 * g + 0.114 * b
     cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
     cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-    # lround_f32 + clip (values in [0, 255])
-    rnd = lambda v: jnp.clip(jnp.where(v < 0, -jnp.floor(0.5 - v),
-                                       jnp.floor(v + 0.5)), 0.0, 255.0)
+    # lround_f32 + clip.  y/cb/cr are provably >= 0 for u8 inputs (the
+    # BT.601 rows' negative coefficients sum to -0.5, so cb/cr >= 128 -
+    # 127.5 = 0.5), so lround == floor(v + 0.5) -- the v < 0 arm of the
+    # reference's lround is dead here (bit-exactness pinned by the
+    # golden-oracle tests in tests/test_image_bridge.py)
+    rnd = lambda v: jnp.clip(jnp.floor(v + 0.5), 0.0, 255.0)
     y, cb, cr = rnd(y), rnd(cb), rnd(cr)
     yq = jnp.clip(_lround_ratio_f32(y, 242, 255), 0.0, 242.0)
     cbq = jnp.clip(_lround_ratio_f32(cb - 128.0, 40, 128), -40.0, 40.0) + 40.0
     crq = jnp.clip(_lround_ratio_f32(cr - 128.0, 40, 128), -40.0, 40.0) + 40.0
-    # 13 trits per pixel: Yq 5, Cbq+40 4, Crq+40 4 (f32 divmod chains)
-    def dig(v, n):
-        out = []
-        for _ in range(n):
-            q3 = _f32_floordiv(v, 3.0)
-            out.append(v - 3.0 * q3)
-            v = q3
-        return out
-    t = dig(yq, 5) + dig(cbq, 4) + dig(crq, 4)        # 13 x (2, m)
+    # 13 trits per pixel: Yq 5, Cbq+40 4, Crq+40 4 (f32 divmod chains;
+    # domain <= 242 -> correction-free divmods, see _dig_nocorr)
+    t = _dig_nocorr(yq, 5) + _dig_nocorr(cbq, 4) + _dig_nocorr(crq, 4)
     # word symbol s = t[3s] + 3 t[3s+1] + 9 t[3s+2] over the 27-trit pair
     # layout [a 0..12 | b 13..25 | 0]; trit j of pixel-parity e is t[j][e]
     t27 = [t[j][0] for j in range(13)] + [t[j][1] for j in range(13)] \
@@ -194,9 +210,9 @@ def egress9_planes(wplanes):
     w = jnp.asarray(wplanes).astype(jnp.float32)      # (9, m)
     t27 = []
     for s in range(9):
-        v = w[s]
-        q1 = _f32_floordiv(v, 3.0)
-        q2 = _f32_floordiv(q1, 3.0)
+        v = w[s]                       # syms <= 26: correction-free divs
+        q1 = _floordiv3_small(v)
+        q2 = _floordiv3_small(q1)
         t27 += [v - 3.0 * q1, q1 - 3.0 * q2, q2]
     def undig(ts):
         acc = ts[0]
