@@ -201,7 +201,7 @@ def build_encode_layout(cfg: EncoderConfig, n_raw_words: int,
         # divide 234 (the stream symbols per wire block), tile rows cross
         # block boundaries and the boustrophedon cannot fold into the
         # single fused interleave dot -- every such tile is capped at
-        # ~19-24 fps on-chip vs 30-36 fps for w | 234 tiles (~0.55x;
+        # ~19-20 fps on-chip vs 30-36 fps for w | 234 tiles (~0.55x;
         # docs/PERF.md round-4 frontier analysis: the ~2.5-3 ms/frame
         # class-dot floor x >= 2 dots x 2 sides is architectural on this
         # backend).  Burst-spreading quality depends on tile AREA and
@@ -213,7 +213,7 @@ def build_encode_layout(cfg: EncoderConfig, n_raw_words: int,
         warnings.warn(
             f"P5 tile {cfg.tile.w}x{cfg.tile.h}: width does not divide 234, "
             f"so the fused interleave path does not apply -- measured "
-            f"~0.55x throughput (~19-24 fps vs 30-36 on-chip, docs/PERF.md). "
+            f"~0.55x throughput (~19-20 fps vs 30-36 on-chip, docs/PERF.md). "
             f"For >= 30 fps pick a w|234 tile of similar area/aspect, "
             f"e.g. {alts}.",
             PerformanceWarning, stacklevel=2)
