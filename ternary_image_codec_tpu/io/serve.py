@@ -69,14 +69,25 @@ class T3V6StreamWriter:
                                 len(self._meta_f)))
         self._written = 0
 
-    def write_frame(self, idx: int, payload: bytes) -> None:
-        if len(payload) != self.frame_bytes:
+    def write_frame(self, idx: int, payload) -> None:
+        """payload: any contiguous buffer (bytes, memoryview, uint8
+        ndarray) of length <= frame_bytes; the remainder is zero-padded.
+        Buffer-protocol input avoids a per-frame tobytes() copy (~30 ms
+        for a 112 MB 8K frame on this host, docs/PERF.md round-5)."""
+        mv = memoryview(payload).cast("B")
+        if len(mv) > self.frame_bytes:
             raise ContainerError("serve frame payload size mismatch")
+        pad = self.frame_bytes - len(mv)
         f = self._f
         f.seek(self._offsets[idx])
         f.write(self._meta_f)
-        f.write(payload)
-        f.write(struct.pack("<I", _crc32(payload)))
+        f.write(mv)
+        crc = zlib.crc32(mv)
+        if pad:
+            zeros = b"\0" * pad
+            f.write(zeros)
+            crc = zlib.crc32(zeros, crc)
+        f.write(struct.pack("<I", crc & 0xFFFFFFFF))
         self._written += 1
 
     def close(self) -> None:

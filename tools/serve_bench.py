@@ -43,7 +43,14 @@ def main():
     ap.add_argument("--path", default="/tmp/serve_bench.t3v")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--probe", action="store_true")
+    ap.add_argument("--host-only", action="store_true",
+                    help="measure the host serve station alone (CRC32 + "
+                    "container write / gated read, no device, no tunnel): "
+                    "the per-core rate that bounds a co-located deploy")
     args = ap.parse_args()
+    if args.host_only:
+        _host_only(args)
+        return
 
     from ternary_image_codec_tpu.runtime.native import warm_heap
     warm_heap()     # cold page faults cost ~1 s/GB on this VM (PERF.md)
@@ -137,20 +144,26 @@ def main():
         ck = np.asarray(ck)
         for k in range(G):
             fi = g * G + k
-            payload = by[k].tobytes() + b"\0" * pad_b
-            wtr.write_frame(fi, payload)   # CRC32 inside
+            wtr.write_frame(fi, by[k])     # buffer-protocol, CRC inside
             enc_cks[fi] = int(ck[k])
 
-    # patch the writer to split crc/io time
+    # patch the writer to split crc/io time (same semantics as
+    # T3V6StreamWriter.write_frame: zero-pad + incremental CRC)
     orig_write = wtr.write_frame
 
     def write_split(idx, payload):
-        c = timed("crc", zlib.crc32, payload)
+        mv = memoryview(payload).cast("B")
+        c = timed("crc", zlib.crc32, mv)
+        zeros = b"\0" * (fb - len(mv))
+        if zeros:
+            c = zlib.crc32(zeros, c)
         f = wtr._f
         f.seek(wtr._offsets[idx])
         t0 = time.perf_counter()
         f.write(wtr._meta_f)
-        f.write(payload)
+        f.write(mv)
+        if zeros:
+            f.write(zeros)
         import struct as _s
         f.write(_s.pack("<I", c & 0xFFFFFFFF))
         st["io"] += time.perf_counter() - t0
@@ -242,6 +255,54 @@ def main():
                            "dispatch": round(dec_stats.dispatch_s, 1)}}
     print(json.dumps(out))
     os.remove(args.path)
+
+
+def _host_only(args):
+    """Host serve station rate, no device/tunnel: N x frame_bytes of
+    synthetic wire bytes through CRC32 + T3V6 write, then gated read +
+    CRC verify.  Runs on both tmpfs (pure host CPU + memcpy) and the
+    default path (adds disk writeback) -- the per-core bound a
+    co-located deployment would see from THIS host code."""
+    from ternary_image_codec_tpu.io import serve as S
+    from ternary_image_codec_tpu.runtime.native import warm_heap
+    from ternary_image_codec_tpu.config import SubwordMode
+    warm_heap()
+    W, H = map(int, args.wh.split("x"))
+    fb = 112_406_528 if args.wh == "7680x4320" else 4 * (W * H // 2)
+    fb = -(-fb // 4) * 4
+    N = args.frames
+    r = np.random.default_rng(0)
+    base = r.integers(0, 243, fb, dtype=np.uint8)
+    out = {}
+    for name, path in [("tmpfs", "/dev/shm/serve_host.t3v"),
+                       ("disk", args.path)]:
+        try:
+            wtr = S.T3V6StreamWriter(path, SubwordMode.S27, W, H, N, fb,
+                                     meta_per_frame='{"domain":"acme/x"}')
+        except OSError as e:
+            out[name] = {"error": str(e)}
+            continue
+        t0 = time.perf_counter()
+        for i in range(N):
+            base[:8] = np.frombuffer(np.int64(i).tobytes(), np.uint8)
+            wtr.write_frame(i, base)
+        wtr._f.flush()
+        os.fsync(wtr._f.fileno())
+        t_w = time.perf_counter() - t0
+        wtr.close()
+        rd = S.T3V6StreamReader(path, approve_meta=lambda m: True)
+        t0 = time.perf_counter()
+        for i in range(N):
+            pay = rd.read_frame_bytes(i)   # includes CRC verify
+        rd.close()
+        t_r = time.perf_counter() - t0
+        os.remove(path)
+        out[name] = {"write_fps": round(N / t_w, 2),
+                     "read_fps": round(N / t_r, 2),
+                     "write_gbps": round(N * fb / t_w / 1e9, 2),
+                     "read_gbps": round(N * fb / t_r / 1e9, 2)}
+    print(json.dumps({"host_only": out, "frames": N,
+                      "frame_mb": round(fb / 1e6, 1)}))
 
 
 def _probe(jnp, n_sf, geom, var0):
