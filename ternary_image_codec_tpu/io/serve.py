@@ -82,11 +82,11 @@ class T3V6StreamWriter:
         f.seek(self._offsets[idx])
         f.write(self._meta_f)
         f.write(mv)
-        crc = zlib.crc32(mv)
+        crc = _crc32(mv)
         if pad:
             zeros = b"\0" * pad
             f.write(zeros)
-            crc = zlib.crc32(zeros, crc)
+            crc = _crc32(zeros, crc)
         f.write(struct.pack("<I", crc & 0xFFFFFFFF))
         self._written += 1
 

@@ -111,6 +111,138 @@ void t3n_unpack13(const uint32_t* code, size_t n, int32_t* yq, int32_t* cbq,
     }
 }
 
-int t3n_abi_version(void) { return 1; }
+// ---- CRC-32 (zlib polynomial 0xEDB88320, reflected), PCLMUL-folded -------
+// The container payload CRC runs over ~112 MB per 8K frame; the system
+// zlib measured 3.6 GB/s on this host (= 31 ms/frame, the serve
+// station's single biggest piece).  The classic 4x128-bit PCLMULQDQ
+// folding (Intel "Fast CRC Computation ... Using PCLMULQDQ" scheme)
+// runs an order of magnitude faster; scalar slice-by-8 fallback below.
+
+static uint32_t crc32_table8[8][256];
+static bool crc32_tab_init = false;
+static void crc32_init_tab() {
+    for (int i = 0; i < 256; ++i) {
+        uint32_t c = (uint32_t)i;
+        for (int k = 0; k < 8; ++k)
+            c = (c >> 1) ^ (0xEDB88320u & (0u - (c & 1u)));
+        crc32_table8[0][i] = c;
+    }
+    for (int i = 0; i < 256; ++i)
+        for (int j = 1; j < 8; ++j)
+            crc32_table8[j][i] =
+                (crc32_table8[j - 1][i] >> 8)
+                ^ crc32_table8[0][crc32_table8[j - 1][i] & 0xFF];
+    crc32_tab_init = true;
+}
+
+static uint32_t crc32_scalar(const uint8_t* p, size_t n, uint32_t crc) {
+    if (!crc32_tab_init) crc32_init_tab();
+    crc = ~crc;
+    while (n >= 8) {
+        uint64_t v;
+        memcpy(&v, p, 8);
+        v ^= crc;
+        crc = crc32_table8[7][v & 0xFF]
+            ^ crc32_table8[6][(v >> 8) & 0xFF]
+            ^ crc32_table8[5][(v >> 16) & 0xFF]
+            ^ crc32_table8[4][(v >> 24) & 0xFF]
+            ^ crc32_table8[3][(v >> 32) & 0xFF]
+            ^ crc32_table8[2][(v >> 40) & 0xFF]
+            ^ crc32_table8[1][(v >> 48) & 0xFF]
+            ^ crc32_table8[0][(v >> 56) & 0xFF];
+        p += 8;
+        n -= 8;
+    }
+    while (n--) crc = (crc >> 8) ^ crc32_table8[0][(crc ^ *p++) & 0xFF];
+    return ~crc;
+}
+
+#if defined(__x86_64__)
+#include <immintrin.h>
+// 4x128-bit PCLMUL folding for the reflected polynomial (Intel "Fast CRC
+// Computation Using PCLMULQDQ" / Linux crc32-pclmul constants).  Fold
+// identity: x' = clmul(x_lo, K_lo) ^ clmul(x_hi, K_hi) ^ next_data keeps
+// the accumulator congruent (mod P) to the conditioned prefix, so
+// CRC(msg) == CRC_raw(accumulator_bytes || tail) -- the final reduction
+// is a 16-byte scalar run (provable, no Barrett constants to get wrong).
+__attribute__((target("pclmul,sse4.1")))
+static uint32_t crc32_pclmul(const uint8_t* p, size_t n, uint32_t crc0) {
+    if (n < 256) return crc32_scalar(p, n, crc0);
+    // set_epi64x(hi, lo): imm 0x00 multiplies x_lo by K_lo, 0x11 x_hi by
+    // K_hi.  K512 = {lo: x^(512+32), hi: x^(512-32)} mod P (reflected),
+    // K128 likewise for 128-bit distance.
+    const __m128i K512 = _mm_set_epi64x(0x00000001c6e41596, 0x0000000154442bd4);
+    const __m128i K128 = _mm_set_epi64x(0x00000000ccaa009e, 0x00000001751997d0);
+    __m128i x0 = _mm_loadu_si128((const __m128i*)(p + 0));
+    __m128i x1 = _mm_loadu_si128((const __m128i*)(p + 16));
+    __m128i x2 = _mm_loadu_si128((const __m128i*)(p + 32));
+    __m128i x3 = _mm_loadu_si128((const __m128i*)(p + 48));
+    // init conditioning == XOR ~init into the first 32 message bits
+    x0 = _mm_xor_si128(x0, _mm_cvtsi32_si128((int)~crc0));
+    p += 64;
+    n -= 64;
+    while (n >= 64) {
+        __m128i t;
+        t = _mm_clmulepi64_si128(x0, K512, 0x00);
+        x0 = _mm_clmulepi64_si128(x0, K512, 0x11);
+        x0 = _mm_xor_si128(_mm_xor_si128(x0, t),
+                           _mm_loadu_si128((const __m128i*)(p + 0)));
+        t = _mm_clmulepi64_si128(x1, K512, 0x00);
+        x1 = _mm_clmulepi64_si128(x1, K512, 0x11);
+        x1 = _mm_xor_si128(_mm_xor_si128(x1, t),
+                           _mm_loadu_si128((const __m128i*)(p + 16)));
+        t = _mm_clmulepi64_si128(x2, K512, 0x00);
+        x2 = _mm_clmulepi64_si128(x2, K512, 0x11);
+        x2 = _mm_xor_si128(_mm_xor_si128(x2, t),
+                           _mm_loadu_si128((const __m128i*)(p + 32)));
+        t = _mm_clmulepi64_si128(x3, K512, 0x00);
+        x3 = _mm_clmulepi64_si128(x3, K512, 0x11);
+        x3 = _mm_xor_si128(_mm_xor_si128(x3, t),
+                           _mm_loadu_si128((const __m128i*)(p + 48)));
+        p += 64;
+        n -= 64;
+    }
+    // fold the 4 accumulators into one (128-bit distance each step)
+    __m128i t;
+    t = _mm_clmulepi64_si128(x0, K128, 0x00);
+    x0 = _mm_clmulepi64_si128(x0, K128, 0x11);
+    x1 = _mm_xor_si128(x1, _mm_xor_si128(x0, t));
+    t = _mm_clmulepi64_si128(x1, K128, 0x00);
+    x1 = _mm_clmulepi64_si128(x1, K128, 0x11);
+    x2 = _mm_xor_si128(x2, _mm_xor_si128(x1, t));
+    t = _mm_clmulepi64_si128(x2, K128, 0x00);
+    x2 = _mm_clmulepi64_si128(x2, K128, 0x11);
+    x3 = _mm_xor_si128(x3, _mm_xor_si128(x2, t));
+    while (n >= 16) {
+        t = _mm_clmulepi64_si128(x3, K128, 0x00);
+        x3 = _mm_clmulepi64_si128(x3, K128, 0x11);
+        x3 = _mm_xor_si128(_mm_xor_si128(x3, t),
+                           _mm_loadu_si128((const __m128i*)p));
+        p += 16;
+        n -= 16;
+    }
+    // scalar finish.  With raw(s, buf) = the table run from state s and
+    // crc32_scalar(buf, c) == ~raw(~c, buf):
+    //   result = ~raw(~init, msg) = ~raw(0, msg_conditioned)
+    //          = ~raw(0, acc_bytes || tail)            [fold invariant]
+    //   ~raw(0, acc) == crc32_scalar(acc, 0xFFFFFFFF), and chaining the
+    //   tail through crc32_scalar re-enters the raw run at raw(0, acc).
+    uint8_t acc[16];
+    _mm_storeu_si128((__m128i*)acc, x3);
+    uint32_t crc = crc32_scalar(acc, 16, 0xFFFFFFFFu);
+    if (n) crc = crc32_scalar(p, n, crc);
+    return crc;
+}
+#endif
+
+uint32_t t3n_crc32(const uint8_t* data, size_t len, uint32_t init) {
+#if defined(__x86_64__)
+    if (__builtin_cpu_supports("pclmul") && __builtin_cpu_supports("sse4.1"))
+        return crc32_pclmul(data, len, init);
+#endif
+    return crc32_scalar(data, len, init);
+}
+
+int t3n_abi_version(void) { return 2; }
 
 }  // extern "C"

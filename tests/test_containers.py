@@ -130,3 +130,22 @@ class TestRoundtripAndGates:
         open(p, "wb").write(b"NOPE" + b"\x00" * 30)
         with pytest.raises(C.ContainerError, match="magic"):
             C.t3p_read_header(p)
+
+
+class TestNativeCrc32:
+    def test_native_crc32_matches_zlib(self):
+        """The container CRC is routed through the native PCLMUL kernel
+        when available; it must be bit-identical to zlib across sizes
+        (block boundaries at 64/16 bytes), inits, and buffer types."""
+        import zlib
+        import numpy as np
+        from ternary_image_codec_tpu.io.containers import _crc32
+        r = np.random.default_rng(11)
+        for n in (0, 1, 3, 15, 16, 17, 63, 64, 65, 255, 256, 257, 300,
+                  511, 512, 1000, 4097, 1 << 16):
+            buf = r.integers(0, 256, n, dtype=np.uint8)
+            for init in (0, 1, 0xFFFFFFFF, 0xDEADBEEF):
+                want = zlib.crc32(buf.tobytes(), init) & 0xFFFFFFFF
+                assert _crc32(buf.tobytes(), init) == want, (n, init)
+                assert _crc32(buf, init) == want, (n, init)       # ndarray
+                assert _crc32(memoryview(buf), init) == want, (n, init)

@@ -151,12 +151,14 @@ def main():
     # T3V6StreamWriter.write_frame: zero-pad + incremental CRC)
     orig_write = wtr.write_frame
 
+    from ternary_image_codec_tpu.io.containers import _crc32
+
     def write_split(idx, payload):
         mv = memoryview(payload).cast("B")
-        c = timed("crc", zlib.crc32, mv)
+        c = timed("crc", _crc32, mv)
         zeros = b"\0" * (fb - len(mv))
         if zeros:
-            c = zlib.crc32(zeros, c)
+            c = _crc32(zeros, c)
         f = wtr._f
         f.seek(wtr._offsets[idx])
         t0 = time.perf_counter()
