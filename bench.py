@@ -523,7 +523,13 @@ def main():
                     assert np.array_equal(got, exp), "dirty repair wrong"
                 del outs_d
             t_clean = min(t_clean, _timed(w))
-            t_dirty = min(t_dirty, _timed(wd))
+            # T3_TRACE_DIRTY_DIR: trace the second (compile-warm) dirty
+            # decode -- the two-phase check + gathered repair program has
+            # never had an op-level trace (docs/PERF.md round-5)
+            with tracing.device_trace(
+                    os.environ.get("T3_TRACE_DIRTY_DIR")
+                    if bi == 1 else None):
+                t_dirty = min(t_dirty, _timed(wd))
             del w, wd
         # enc+dec fps with the dirty decode in place of the clean one
         dirty_fps = round(1.0 / (dt - t_clean + t_dirty), 3)
