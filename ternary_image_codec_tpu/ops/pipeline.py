@@ -1540,8 +1540,56 @@ def _repair_merge_fn(cfg: EncoderConfig, sf_batch: int):
     return repair_merge
 
 
+@functools.cache
+def _fused_auto_fn(cfg: EncoderConfig, sf_batch: int, repair_cap: int):
+    """ONE-dispatch two-phase decode: check + device-compacted repair.
+
+    The host-branch auto strategy (decode_stream_superframes) serializes
+    phase 1 -> D2H of the ok flags -> argwhere -> H2D -> phase-2 dispatch;
+    on the remote-tunnel chip that boundary costs a full pipeline drain
+    plus a second ~25 ms dispatch floor PER STREAM even when only a
+    handful of superframes are dirty (docs/PERF.md machine constants).
+    This variant keeps the branch ON DEVICE: a stable argsort of the
+    phase-1 ok flags compacts the flagged superframe indices to the
+    front, the paged corrector runs over a FIXED repair_cap-slot window
+    gathered from those indices, and the fixes scatter back over the
+    phase-1 output -- check + repair as one program, no host round-trip.
+
+    Semantics vs auto: identical for <= repair_cap dirty superframes
+    (padding slots hold CLEAN superframes whose paged re-decode is
+    idempotent, exactly like auto's repeat-last index padding); MORE
+    than repair_cap dirty superframes fails safe (ok=False) instead of
+    auto's unbounded host-side re-dispatch.  Clean streams pay the
+    repair window's chain cost (auto pays nothing), so auto stays the
+    default; "fused" is for dirty-heavy or latency-sensitive streams
+    where the two-dispatch serialization dominates.
+    """
+    _l, _d, _enc, dec_check = _stream_fns(cfg, sf_batch, rs_mode="check",
+                                          ok_per_sf=True)
+    _l2, _d2, _e2, dec_fix = _stream_fns(cfg, repair_cap, rs_mode="paged",
+                                         ok_per_sf=True, hdr_all_pages=True)
+
+    @jax.jit
+    def dec_fused(words_T):            # (n_sf, 9, total) wire planes
+        raw_T, ok_sf = dec_check(words_T)
+        nbad = jnp.sum(~ok_sf)
+        # stable ascending sort of the bool flags puts flagged (False)
+        # superframes first, in stream order; a slice of the index
+        # vector is the compacted dirty set (static shape, no host)
+        order = jnp.argsort(ok_sf, stable=True)
+        idx = order[:repair_cap]       # clamps to n_sf when cap > n_sf
+        fix_T, ok_fix = dec_fix(words_T[idx])
+        raw_T = raw_T.at[idx].set(fix_T)
+        # flagged slots must repair ok; padding slots are clean
+        # superframes (paged decode returns ok=True); overflow fails safe
+        return raw_T, jnp.all(ok_fix) & (nbad <= idx.shape[0])
+
+    return dec_fused
+
+
 def decode_stream_superframes(words, cfg: EncoderConfig, n_raw: int,
-                              sf_batch: int = 64, strategy: str = "auto"):
+                              sf_batch: int = 64, strategy: str = "auto",
+                              repair_cap: int | None = None):
     """(n_sf, total_words, 9) profile words -> (n_raw, 9) RAW words + ok.
 
     Each superframe decodes to n_out_words >= superframe_words; only the
@@ -1564,6 +1612,17 @@ def decode_stream_superframes(words, cfg: EncoderConfig, n_raw: int,
     device-side lax.cond was measured SLOWER than just always correcting
     (docs/PERF.md).  strategy="paged"/"full"/"check"/"none" force a
     single-phase decode with that rs_mode.
+
+    strategy="fused" runs BOTH phases in ONE dispatch with the branch on
+    device (_fused_auto_fn): the phase-1 flags are compacted by a stable
+    argsort and the paged corrector runs over a fixed repair_cap-slot
+    window (default env_repair_sfb(sf_batch)).  Same answers as auto up
+    to repair_cap dirty superframes; beyond that it fails safe
+    (ok=False) instead of re-dispatching unboundedly.  Use it for
+    dirty-heavy or latency-sensitive streams: it removes the
+    phase-1 -> host -> phase-2 serialization (a pipeline drain plus a
+    second ~25 ms tunnel dispatch floor), at the cost of the repair
+    window's chain running even when the stream turns out clean.
     """
     words = jnp.asarray(words)
     words_T = jnp.swapaxes(words, 1, 2)
@@ -1597,6 +1656,9 @@ def decode_stream_superframes(words, cfg: EncoderConfig, n_raw: int,
                 [bad, np.repeat(bad[-1:], nb_pad - bad.size)])
             raw_T, ok = _repair_merge_fn(cfg, r_sfb)(
                 raw_T, words_T, jnp.asarray(bad_p))
+    elif strategy == "fused":
+        cap = repair_cap if repair_cap else env_repair_sfb(sf_batch)
+        raw_T, ok = _fused_auto_fn(cfg, sf_batch, cap)(words_T)
     else:
         _l, _d, _enc, dec = _stream_fns(
             cfg, sf_batch, rs_mode=strategy,

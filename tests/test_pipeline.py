@@ -535,6 +535,63 @@ class TestSuperframeStreaming:
             del os.environ["T3_REPAIR_SFB"]
         assert bool(ok1) and np.array_equal(np.asarray(out1), raw)
 
+    def test_fused_strategy_matches_auto(self):
+        """strategy="fused" (one-dispatch two-phase: device-compacted
+        repair window, pipeline._fused_auto_fn) must return the same
+        answers as the host-branch auto strategy: exact repair of body
+        AND header damage within the window, ok on clean streams, and
+        fail-safe ok=False both for beyond-capacity codewords and for
+        more dirty superframes than repair_cap slots."""
+        from ternary_image_codec_tpu.config import (EncoderConfig, ProfileID,
+                                                    uep_luma_priority)
+        cfg = EncoderConfig(profile=ProfileID.P2_RS26_22,
+                            uep=uep_luma_priority(), superframe_words=64)
+        r = np.random.default_rng(23)
+        n_raw = 64 * 6
+        t = r.integers(0, 3, size=(n_raw, 27)).astype(np.int8)
+        t[:, 26] = 0
+        raw = (t.reshape(n_raw, 9, 3) * np.array([1, 3, 9])).sum(-1) \
+            .astype(np.int8)
+        prof = np.asarray(pipeline.encode_stream_superframes(raw, cfg,
+                                                             sf_batch=2))
+        # clean stream: ok + exact (padding slots repair clean superframes
+        # idempotently)
+        out_c, ok_c = pipeline.decode_stream_superframes(
+            prof, cfg, n_raw, sf_batch=2, strategy="fused", repair_cap=2)
+        assert bool(ok_c) and np.array_equal(np.asarray(out_c), raw)
+        # two dirty superframes (body symbol + header symbol) within the
+        # 2-slot window: exact repair, same as auto
+        corr = prof.copy()
+        corr[1, pipeline.HEADER_WORDS + 5, 4] = (
+            corr[1, pipeline.HEADER_WORDS + 5, 4] + 1) % 27
+        corr[4, 0, 3] = (corr[4, 0, 3] + 2) % 27       # header damage
+        out_f, ok_f = pipeline.decode_stream_superframes(
+            corr, cfg, n_raw, sf_batch=2, strategy="fused", repair_cap=2)
+        assert bool(ok_f) and np.array_equal(np.asarray(out_f), raw)
+        # three dirty superframes vs a 2-slot window: fail-safe ok=False
+        corr3 = corr.copy()
+        corr3[2, pipeline.HEADER_WORDS + 9, 0] = (
+            corr3[2, pipeline.HEADER_WORDS + 9, 0] + 1) % 27
+        _o, ok_over = pipeline.decode_stream_superframes(
+            corr3, cfg, n_raw, sf_batch=2, strategy="fused", repair_cap=2)
+        assert not bool(ok_over)
+        # ...but a wider window repairs all three exactly
+        out3, ok3 = pipeline.decode_stream_superframes(
+            corr3, cfg, n_raw, sf_batch=2, strategy="fused", repair_cap=4)
+        assert bool(ok3) and np.array_equal(np.asarray(out3), raw)
+        # beyond-capacity codeword damage (t+1 = 3 errors in one k=22
+        # codeword) inside the window: repair runs, flags ok=False
+        corr_bc = prof.copy()
+        ob = pipeline.HEADER_WORDS + 2 * 26
+        for i in range(3):
+            corr_bc[0, ob + i, 1] = (corr_bc[0, ob + i, 1] + 1 + i) % 27
+        out_bc, ok_bc = pipeline.decode_stream_superframes(
+            corr_bc, cfg, n_raw, sf_batch=2, strategy="fused", repair_cap=2)
+        # beyond distance RS may miscorrect to ANOTHER valid codeword;
+        # it must never return ok=True with the original data (same
+        # contract as test_stream_beyond_capacity_never_silently_ok)
+        assert not (bool(ok_bc) and np.array_equal(np.asarray(out_bc), raw))
+
     def test_period1_beacon_with_data_rejected(self):
         """words_period=1 gives the beacon band zero payload capacity; the
         layout search used to loop forever -- must raise instead."""
