@@ -462,14 +462,18 @@ def main():
         dlt = np.concatenate([dlt, r2.integers(1, 27, size=2 * n_hdr)])
     dmg = tuple(jnp.asarray(a) for a in (fi, si, bi_, pi_, dlt))
 
-    # T3_DIRTY_STRATEGY=fused: decode the DIRTY sets through the
-    # one-dispatch two-phase program (pipeline._fused_auto_fn -- check +
-    # device-compacted bounded repair, no host branch between phases).
-    # The clean sets keep the production auto path either way (clean
-    # streams never pay a repair window).  Capacity = the exact dirty
-    # population (d_iters * D flagged superframes per set).
+    # The DIRTY sets decode through the one-dispatch two-phase program
+    # (pipeline._fused_auto_fn -- check + device-compacted bounded
+    # repair, no host branch between phases): chip A/B 30.3 -> 36.4 fps
+    # over the host-branch auto path, whose phase boundary cost ~66 ms
+    # per 8-frame set in idle gap + jit-boundary relayout copies
+    # (docs/PERF.md round-5 trace).  T3_DIRTY_STRATEGY=auto re-times the
+    # host-branch strategy.  The clean sets keep the production auto
+    # path either way (clean streams never pay a repair window).
+    # Capacity = the exact dirty population (d_iters * D flagged
+    # superframes per set).
     dec_dirty = dec_two_phase
-    if os.environ.get("T3_DIRTY_STRATEGY", "auto") == "fused":
+    if os.environ.get("T3_DIRTY_STRATEGY", "fused") == "fused":
         r_cap = pipeline.env_repair_sfb(len(fi_sf))
         fused1 = pipeline._fused_auto_fn(cfg, sf_batch, r_cap)
 

@@ -174,6 +174,53 @@ def roundtrip_superframes_dp(raw_words, cfg: EncoderConfig, mesh: Mesh,
     return raw_out, ok
 
 
+def decode_superframes_fused_dp(words, cfg: EncoderConfig, mesh: Mesh,
+                                repair_cap: int = 4):
+    """Fused two-phase decode of a superframe-sharded stream in ONE
+    sharded dispatch (multichip analog of pipeline._fused_auto_fn,
+    docs/PERF.md round-5): each chip check-decodes its local superframes;
+    the flagged indices are compacted ON DEVICE by a stable argsort over
+    the (tiny) global flag vector -- the only data that crosses ICI
+    besides the repair window itself; the paged corrector runs over a
+    fixed repair_cap-slot window gathered from the flagged superframes
+    and the fixes scatter back into the sharded output.  ok is the
+    global reduction, fail-safe False when more than repair_cap
+    superframes flag dirty.
+
+    words: (n_sf, total_words, 9) profile words, n_sf a multiple of the
+    mesh size.  Returns (raw (n_sf, n_out_words, 9), ok scalar).
+    """
+    words = jnp.asarray(words)
+    sf = cfg.superframe_words
+    enc_layout = pipeline.build_encode_layout(cfg, sf)
+    from ..config import SuperframeHeader
+    sf_hdr = SuperframeHeader(profile=cfg.profile, uep=cfg.uep,
+                              tile=cfg.tile, seed=cfg.seed,
+                              beacon=cfg.beacon, subword=cfg.subword,
+                              centered=cfg.centered, coset=cfg.coset)
+    dlayout = pipeline.build_decode_layout(
+        sf_hdr, enc_layout.total_words - pipeline.HEADER_WORDS)
+    dec_chk = pipeline._decode_body_fn(dlayout, "check")
+    dec_fix = pipeline._decode_body_fn(dlayout, "paged")
+
+    sharded = NamedSharding(mesh, PSpec("data", None, None))
+    scalar = NamedSharding(mesh, PSpec())
+
+    @functools.partial(jax.jit, in_shardings=sharded,
+                       out_shardings=(sharded, scalar))
+    def step(w):
+        body = w[:, pipeline.HEADER_WORDS:, :]
+        out, ok = jax.vmap(dec_chk)(body)
+        nbad = jnp.sum(~ok)
+        order = jnp.argsort(ok, stable=True)    # flagged (False) first
+        idx = order[:repair_cap]
+        fix, ok_fix = jax.vmap(dec_fix)(body[idx])
+        out = out.at[idx].set(fix)
+        return out, jnp.all(ok_fix) & (nbad <= idx.shape[0])
+
+    return step(words)
+
+
 def make_mesh_pp(n_devices: int | None = None,
                  stage_axis: str = "stage", data_axis: str = "data") -> Mesh:
     """2D (stage=2, data=n/2) mesh for pipeline x data parallelism."""

@@ -142,6 +142,39 @@ class TestSuperframeDP:
         assert bool(ref_ok)
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
+    def test_fused_two_phase_repair_dp(self, mesh8):
+        """decode_superframes_fused_dp: one sharded dispatch check-decodes
+        the stream, compacts the flagged superframes on device (global
+        argsort across shards), repairs them through the windowed paged
+        corrector, and scatters back -- exact recovery for <= repair_cap
+        dirty superframes, fail-safe ok=False when the window overflows
+        (multichip analog of pipeline strategy="fused")."""
+        import dataclasses
+        cfg = dataclasses.replace(
+            EncoderConfig(profile=ProfileID.P1_RS26_24, uep=uep_uniform(0)),
+            superframe_words=64)
+        n_sf = 16                           # 2 superframes per device
+        raw = make_raw_words(64 * n_sf, seed=43)
+        prof = np.stack([
+            np.asarray(pipeline.encode_profile_from_raw(
+                jnp.asarray(raw[i * 64:(i + 1) * 64]), cfg))
+            for i in range(n_sf)])
+        dirty = prof.copy()
+        # errors on different shards (sf 1 -> device 0, sf 13 -> device 6)
+        dirty[1, pipeline.HEADER_WORDS + 7, 4] = (
+            dirty[1, pipeline.HEADER_WORDS + 7, 4] + 1) % 27
+        dirty[13, pipeline.HEADER_WORDS + 30, 2] = (
+            dirty[13, pipeline.HEADER_WORDS + 30, 2] + 2) % 27
+        fix, ok = M.decode_superframes_fused_dp(dirty, cfg, mesh8,
+                                                repair_cap=3)
+        assert bool(ok)
+        got = np.asarray(fix)[:, :64, :].reshape(-1, 9)
+        np.testing.assert_array_equal(got, raw)
+        # window overflow (2 dirty vs cap=1): fail-safe
+        _f, ok_ov = M.decode_superframes_fused_dp(dirty, cfg, mesh8,
+                                                  repair_cap=1)
+        assert not bool(ok_ov)
+
 
 class TestP5DP:
     def test_p5_roundtrip_step_dp(self, mesh8):

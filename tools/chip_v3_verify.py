@@ -121,6 +121,22 @@ def main():
                 jnp.asarray(dirty), cfg, n, sf_batch=sfb, strategy="auto")
             auto_ok = (bool(aok) == ga_ok
                        and np.array_equal(np.asarray(aout), ga_out))
+            # fused-strategy dirty leg (round 5): the ONE-dispatch
+            # two-phase decode (check + stable-argsort compaction +
+            # bounded paged repair + scatter, pipeline._fused_auto_fn)
+            # is yet another fused PROGRAM -- its own chip sweep, with a
+            # window wider than the dirty set so the clean-slot padding
+            # path executes too
+            with jax.default_device(cpu):
+                gu_out, gu_ok = pipeline.decode_stream_superframes(
+                    jnp.asarray(dirty), cfg, n, sf_batch=sfb,
+                    strategy="fused", repair_cap=4)
+                gu_out, gu_ok = np.asarray(gu_out), bool(gu_ok)
+            uout, uok = pipeline.decode_stream_superframes(
+                jnp.asarray(dirty), cfg, n, sf_batch=sfb,
+                strategy="fused", repair_cap=4)
+            fused_ok = (bool(uok) == gu_ok
+                        and np.array_equal(np.asarray(uout), gu_out))
             # full-mode leg: the v3 unconditional-chain decode (round 3)
             with jax.default_device(cpu):
                 gf_out, gf_ok = pipeline.decode_stream_superframes(
@@ -132,13 +148,13 @@ def main():
             full_ok = (bool(fok) == gf_ok
                        and np.array_equal(np.asarray(fout), gf_out))
             status = ("OK" if (ndiff == 0 and dec_ok and fix_ok and auto_ok
-                              and full_ok)
+                              and fused_ok and full_ok)
                       else "FAIL")
             bad += status == "FAIL"
             print(f"{status} sfb={sfb:<4} {name:<18} "
                   f"enc_diff={ndiff} dec_ok={bool(ok)} dec_exact={dec_ok} "
                   f"paged_fix_exact={fix_ok} auto_fix_exact={auto_ok} "
-                  f"full_exact={full_ok}")
+                  f"fused_fix_exact={fused_ok} full_exact={full_ok}")
             if ndiff:
                 w = np.argwhere(prof != gold)
                 print(f"     first wrong: {w[:3].tolist()} "
