@@ -463,26 +463,41 @@ def main():
     dmg = tuple(jnp.asarray(a) for a in (fi, si, bi_, pi_, dlt))
 
     # The DIRTY sets decode through the one-dispatch two-phase program
-    # (pipeline._fused_auto_fn -- check + device-compacted bounded
-    # repair, no host branch between phases): chip A/B 30.3 -> 36.4 fps
-    # over the host-branch auto path, whose phase boundary cost ~66 ms
-    # per 8-frame set in idle gap + jit-boundary relayout copies
-    # (docs/PERF.md round-5 trace).  T3_DIRTY_STRATEGY=auto re-times the
-    # host-branch strategy.  The clean sets keep the production auto
-    # path either way (clean streams never pay a repair window).
-    # Capacity = the exact dirty population (d_iters * D flagged
-    # superframes per set).
+    # (check + device-compacted bounded repair, no host branch between
+    # phases): chip A/B 30.3 -> 45.6 fps over the host-branch auto
+    # path, whose phase boundary cost ~66 ms per 8-frame set in idle
+    # gap + jit-boundary relayout copies (docs/PERF.md round-5 traces;
+    # ratio < 1 is real -- the always-on repair window is cheaper than
+    # the relayouts it eliminates).  T3_DIRTY_STRATEGY=auto re-times
+    # the host-branch strategy.  The clean sets keep the production
+    # auto path either way.  Capacity = the exact dirty population
+    # (d_iters * D flagged superframes per set).
     dec_dirty = dec_two_phase
     if os.environ.get("T3_DIRTY_STRATEGY", "fused") == "fused":
+        # Same one-dispatch structure as pipeline._fused_auto_fn but KEEPS
+        # the (F, n_sf) axes: reshaping the word set to a flat superframe
+        # axis merges dims that are non-adjacent in the staged layout and
+        # XLA materializes a ~42 ms loop-of-slices relayout before the
+        # check loop even starts (docs/PERF.md round-5 fused trace).  Only
+        # the flag VECTOR is flattened (tiny); the gather/scatter ride 2-D
+        # indices like the auto path's repair_merge.
         r_cap = pipeline.env_repair_sfb(len(fi_sf))
-        fused1 = pipeline._fused_auto_fn(cfg, sf_batch, r_cap)
+        _l6, _d6, _e6, dec_fix_cap = pipeline._stream_fns(
+            cfg, r_cap, rs_mode="paged", ok_per_sf=True,
+            hdr_all_pages=True)
 
         @jax.jit
         def dec_fused_frames(ws):
-            F = ws.shape[0]
-            raw, okv = fused1(ws.reshape(F * n_sf, *ws.shape[2:]))
-            return (raw.reshape(F, n_sf, *raw.shape[1:]), okv,
-                    jnp.sum(raw[0, 0, :8].astype(jnp.int32)))
+            outs, oks = _lx.map(dec_chk, ws)     # (F, n_sf, 9, out), flags
+            okf = oks.reshape(-1)
+            nbad = jnp.sum(~okf)
+            order = jnp.argsort(okf, stable=True)  # flagged (False) first
+            idx = order[:r_cap]
+            fbi, fbj = idx // n_sf, idx % n_sf
+            fix, okfix = dec_fix_cap(ws[fbi, fbj])
+            outs = outs.at[fbi, fbj].set(fix)
+            okv = jnp.all(okfix) & (nbad <= idx.shape[0])
+            return outs, okv, jnp.sum(outs[0, 0, :8].astype(jnp.int32))
 
         def dec_dirty(ws):
             return dec_fused_frames(ws)

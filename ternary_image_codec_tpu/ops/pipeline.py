@@ -1560,9 +1560,20 @@ def _fused_auto_fn(cfg: EncoderConfig, sf_batch: int, repair_cap: int):
     idempotent, exactly like auto's repeat-last index padding); MORE
     than repair_cap dirty superframes fails safe (ok=False) instead of
     auto's unbounded host-side re-dispatch.  Clean streams pay the
-    repair window's chain cost (auto pays nothing), so auto stays the
-    default; "fused" is for dirty-heavy or latency-sensitive streams
-    where the two-dispatch serialization dominates.
+    repair window's chain cost (auto pays nothing) -- but on the TPU
+    backend that window measured CHEAPER than the jit-boundary relayout
+    copies the single-program structure eliminates (dirty decode 30.3
+    -> 45.6 fps, ratio over the check-only clean dispatch 0.955,
+    docs/PERF.md round-5), so "fused" is the fast choice there even
+    for clean streams.  On CPU it measures ~8% slower than check-only;
+    auto stays the portable default.
+
+    NOTE on input staging: this fn takes ONE flat superframe axis.  If
+    the stream lives as (frames, n_sf, ...) with those dims non-adjacent
+    in the staged layout, reshaping to flat materializes a loop-of-
+    slices relayout (~42 ms per 8x2025 set on chip) -- keep the axes
+    and run the same structure with 2-D index gather/scatter instead
+    (bench.py dec_fused_frames; docs/PERF.md round-5).
     """
     _l, _d, _enc, dec_check = _stream_fns(cfg, sf_batch, rs_mode="check",
                                           ok_per_sf=True)
@@ -1618,11 +1629,17 @@ def decode_stream_superframes(words, cfg: EncoderConfig, n_raw: int,
     argsort and the paged corrector runs over a fixed repair_cap-slot
     window (default env_repair_sfb(sf_batch)).  Same answers as auto up
     to repair_cap dirty superframes; beyond that it fails safe
-    (ok=False) instead of re-dispatching unboundedly.  Use it for
-    dirty-heavy or latency-sensitive streams: it removes the
+    (ok=False) instead of re-dispatching unboundedly.  It removes the
     phase-1 -> host -> phase-2 serialization (a pipeline drain plus a
-    second ~25 ms tunnel dispatch floor), at the cost of the repair
-    window's chain running even when the stream turns out clean.
+    second ~25 ms tunnel dispatch floor) AND the two-program
+    structure's jit-boundary relayout copies; the repair window's
+    chain runs even when the stream turns out clean, but on the TPU
+    backend the window measured CHEAPER than the relayouts it
+    eliminates (dirty decode 30.3 -> 45.6 fps vs auto; 0.955x the
+    check-only clean dispatch -- docs/PERF.md round-5), so on TPU
+    prefer "fused" for any stream whose dirty rate fits the window.
+    "auto" remains the portable default (on CPU the window costs ~8%
+    extra).
     """
     words = jnp.asarray(words)
     words_T = jnp.swapaxes(words, 1, 2)
