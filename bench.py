@@ -486,8 +486,7 @@ def main():
             cfg, r_cap, rs_mode="paged", ok_per_sf=True,
             hdr_all_pages=True)
 
-        @jax.jit
-        def dec_fused_frames(ws):
+        def _fused_body(ws):
             outs, oks = _lx.map(dec_chk, ws)     # (F, n_sf, 9, out), flags
             okf = oks.reshape(-1)
             nbad = jnp.sum(~okf)
@@ -498,6 +497,25 @@ def main():
             outs = outs.at[fbi, fbj].set(fix)
             okv = jnp.all(okfix) & (nbad <= idx.shape[0])
             return outs, okv, jnp.sum(outs[0, 0, :8].astype(jnp.int32))
+
+        if os.environ.get("T3_DIRTY_OUTLAYOUT", "auto") == "rowmajor":
+            # A/B knob, NOT the default: pinning the outs OUTPUT layout
+            # to row-major kills the 13 ms compiler-chosen boundary copy
+            # (dirty 44.5 -> 47.8 fps same-series) -- but the pinned
+            # executable FAILS to reload from the persistent compile
+            # cache on this backend (deterministic INVALID_ARGUMENT on
+            # every cache-warm process; fresh compiles run fine; small
+            # pinned programs reload fine).  docs/PERF.md round-5.
+            from jax.experimental.layout import Format as _Fmt
+            from jax.experimental.layout import Layout as _Lay
+            from jax.sharding import SingleDeviceSharding as _SDS
+            _sd = _SDS(jax.devices()[0])
+            dec_fused_frames = jax.jit(
+                _fused_body,
+                out_shardings=(_Fmt(_Lay(major_to_minor=(0, 1, 2, 3)),
+                                    _sd), _sd, _sd))
+        else:
+            dec_fused_frames = jax.jit(_fused_body)
 
         def dec_dirty(ws):
             return dec_fused_frames(ws)

@@ -579,6 +579,12 @@ class TestSuperframeStreaming:
         out3, ok3 = pipeline.decode_stream_superframes(
             corr3, cfg, n_raw, sf_batch=2, strategy="fused", repair_cap=4)
         assert bool(ok3) and np.array_equal(np.asarray(out3), raw)
+        # window wider than the whole stream (cap > n_sf): the index
+        # slice clamps to n_sf and every superframe rides the corrector
+        out_w, ok_w = pipeline.decode_stream_superframes(
+            corr3, cfg, n_raw, sf_batch=2, strategy="fused",
+            repair_cap=99)
+        assert bool(ok_w) and np.array_equal(np.asarray(out_w), raw)
         # beyond-capacity codeword damage (t+1 = 3 errors in one k=22
         # codeword) inside the window: repair runs, flags ok=False
         corr_bc = prof.copy()
